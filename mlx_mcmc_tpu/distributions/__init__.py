@@ -1,0 +1,23 @@
+"""Distribution layer: stateless, traced, broadcastable value objects.
+
+Mirrors the reference's export surface (mlx_mcmc/distributions/__init__.py:3-9)
+and extends it with unconstraining transforms.
+"""
+
+from mlx_mcmc_tpu.distributions.base import Distribution
+from mlx_mcmc_tpu.distributions.normal import Normal
+from mlx_mcmc_tpu.distributions.halfnormal import HalfNormal
+from mlx_mcmc_tpu.distributions.beta import Beta
+from mlx_mcmc_tpu.distributions.gamma import Gamma
+from mlx_mcmc_tpu.distributions.exponential import Exponential
+from mlx_mcmc_tpu.distributions.categorical import Categorical
+
+__all__ = [
+    "Distribution",
+    "Normal",
+    "HalfNormal",
+    "Beta",
+    "Gamma",
+    "Exponential",
+    "Categorical",
+]
