@@ -30,6 +30,8 @@ from mlx_mcmc_tpu.distributions import (
     Exponential,
     Categorical,
 )
+from mlx_mcmc_tpu.kernels import hmc, metropolis_hastings, nuts
+from mlx_mcmc_tpu.inference import MCMC, MCMCResult, sample
 
 __all__ = [
     "Distribution",
@@ -39,4 +41,10 @@ __all__ = [
     "Gamma",
     "Exponential",
     "Categorical",
+    "metropolis_hastings",
+    "hmc",
+    "nuts",
+    "MCMC",
+    "MCMCResult",
+    "sample",
 ]

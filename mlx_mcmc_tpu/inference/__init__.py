@@ -1,0 +1,7 @@
+"""Inference layer: compiled engine, functional API, and the MCMC facade."""
+
+from mlx_mcmc_tpu.inference.api import MCMCResult, sample
+from mlx_mcmc_tpu.inference.engine import build_sampler, make_kernel
+from mlx_mcmc_tpu.inference.mcmc import MCMC
+
+__all__ = ["MCMC", "MCMCResult", "sample", "build_sampler", "make_kernel"]

@@ -1,0 +1,188 @@
+"""Functional sampling API: ``sample(...) -> MCMCResult``.
+
+The modern entry point of the framework (the class facade in
+``inference/mcmc.py`` wraps this for reference API parity). One call builds
+and jit-compiles the full warmup+sampling program and executes it on device;
+results stay as device arrays until numpy conversion is requested.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlx_mcmc_tpu.diagnostics.stats import (
+    effective_sample_size,
+    potential_scale_reduction,
+    summary_stats,
+)
+from mlx_mcmc_tpu.inference.engine import (
+    ChainResult,
+    build_sampler,
+    make_chain_keys,
+    prepare_initial_positions,
+)
+from mlx_mcmc_tpu.kernels.base import TransitionInfo, Tunables
+from mlx_mcmc_tpu.ops.ravel import make_flat_logprob
+
+
+def _as_key(seed) -> jnp.ndarray:
+    if isinstance(seed, (int, np.integer)):
+        return jax.random.PRNGKey(seed)
+    return seed
+
+
+@dataclass
+class MCMCResult:
+    """Posterior draws plus per-draw sampler diagnostics.
+
+    ``samples``: dict name -> array of shape (chains, draws, *event_shape).
+    ``info``: TransitionInfo pytree with (chains, draws) leaves.
+    ``tunables``: adapted step size and inverse mass diagonal.
+    """
+
+    samples: Dict[str, jnp.ndarray]
+    info: TransitionInfo
+    tunables: Tunables
+    num_chains: int
+    num_samples: int
+    kernel: str = "nuts"
+    _numpy_cache: Optional[Dict[str, np.ndarray]] = field(default=None, repr=False)
+
+    def to_numpy(self) -> Dict[str, np.ndarray]:
+        if self._numpy_cache is None:
+            self._numpy_cache = {
+                k: np.asarray(v) for k, v in self.samples.items()
+            }
+        return self._numpy_cache
+
+    @property
+    def acceptance_rate(self) -> float:
+        """Fraction of accepted proposals (metropolis/hmc); for NUTS the
+        trajectory is always advanced, so report the mean Metropolis
+        acceptance statistic instead (Stan's 'accept_stat')."""
+        if self.kernel == "nuts":
+            return float(np.mean(np.asarray(self.info.accept_prob)))
+        return float(np.mean(np.asarray(self.info.is_accepted)))
+
+    @property
+    def divergences(self) -> int:
+        return int(np.sum(np.asarray(self.info.is_divergent)))
+
+    def flat_samples(self) -> Dict[str, np.ndarray]:
+        """(chains*draws, *event) numpy arrays — the reference's output shape
+        for single-chain runs (mlx_mcmc/inference/mcmc.py:99,125,187)."""
+        out = {}
+        for k, v in self.to_numpy().items():
+            out[k] = v.reshape(-1, *v.shape[2:]) if v.ndim > 2 else v.reshape(-1)
+        return out
+
+    def diagnostics(self) -> Dict[str, Dict[str, float]]:
+        """Per-parameter split R-hat and effective sample size."""
+        out = {}
+        for k, v in self.to_numpy().items():
+            flat_event = v.reshape(v.shape[0], v.shape[1], -1)
+            rhat = potential_scale_reduction(flat_event)
+            ess = effective_sample_size(flat_event)
+            out[k] = {
+                "r_hat": float(np.max(rhat)),
+                "n_eff": float(np.min(ess)),
+            }
+        return out
+
+    def summary(self, credible_interval: float = 0.95) -> Dict[str, Dict[str, float]]:
+        out = {}
+        for k, v in self.to_numpy().items():
+            if v.ndim == 2:
+                out[k] = summary_stats(v, credible_interval)
+            else:
+                # vector parameter: summarize each component as name[i]
+                flat_event = v.reshape(v.shape[0], v.shape[1], -1)
+                for i in range(flat_event.shape[-1]):
+                    out[f"{k}[{i}]"] = summary_stats(
+                        flat_event[..., i], credible_interval
+                    )
+        return out
+
+
+def sample(
+    log_prob_fn: Callable[[Any], jnp.ndarray],
+    initial_params: Any,
+    *,
+    num_samples: int = 1000,
+    num_warmup: int = 1000,
+    num_chains: int = 1,
+    kernel: str = "nuts",
+    seed=0,
+    step_size: float = 0.1,
+    adapt_step_size: bool = True,
+    adapt_mass_matrix: bool = True,
+    target_accept: Optional[float] = None,
+    jitter: float = 0.0,
+    batched_initial: bool = False,
+    **kernel_kwargs,
+) -> MCMCResult:
+    """Run compiled multi-chain MCMC against a dict-of-params model.
+
+    ``kernel`` is 'metropolis' | 'hmc' | 'nuts'. Kernel-specific options pass
+    through: ``num_leapfrog_steps`` (hmc), ``max_tree_depth`` (nuts).
+    With ``batched_initial=True`` every leaf of ``initial_params`` carries a
+    leading ``num_chains`` axis (per-chain starting points).
+    """
+    if batched_initial:
+        example = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, jnp.result_type(float))[0], initial_params
+        )
+        flat_log_prob, z0, unravel = make_flat_logprob(log_prob_fn, example)
+        from mlx_mcmc_tpu.ops.ravel import ravel_params
+
+        z0_batched = jax.vmap(lambda tree: ravel_params(tree)[0])(
+            jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, jnp.result_type(float)), initial_params
+            )
+        )
+    else:
+        flat_log_prob, z0, unravel = make_flat_logprob(log_prob_fn, initial_params)
+        z0_batched = None
+    dim = z0.shape[0]
+
+    run = build_sampler(
+        flat_log_prob,
+        dim,
+        kernel=kernel,
+        num_warmup=num_warmup,
+        num_samples=num_samples,
+        step_size=step_size,
+        adapt_step_size=adapt_step_size,
+        adapt_mass_matrix=adapt_mass_matrix,
+        target_accept=target_accept,
+        **kernel_kwargs,
+    )
+
+    key = _as_key(seed)
+    key_init, key_run = jax.random.split(key)
+    if z0_batched is not None:
+        if z0_batched.shape[0] != num_chains:
+            raise ValueError(
+                f"batched_initial leaves have leading axis {z0_batched.shape[0]}, "
+                f"expected num_chains={num_chains}"
+            )
+        z0_batch = z0_batched
+    else:
+        z0_batch = prepare_initial_positions(z0, num_chains, key_init, jitter)
+    chain_keys = make_chain_keys(key_run, num_chains)
+    result: ChainResult = jax.jit(run)(chain_keys, z0_batch)
+
+    samples = jax.vmap(jax.vmap(unravel))(result.positions)
+    return MCMCResult(
+        samples=samples,
+        info=result.info,
+        tunables=result.final_tunables,
+        num_chains=num_chains,
+        num_samples=num_samples,
+        kernel=kernel,
+    )

@@ -1,0 +1,224 @@
+"""Compiled multi-chain sampling engine.
+
+This is the execution core that replaces the reference's host loops
+(mlx_mcmc/kernels/*.py per-iteration Python loops with ``float()`` syncs,
+SURVEY.md §3): one ``jit`` per (model, kernel) containing
+
+    vmap(init) -> [warmup lax.scan with windowed adaptation] -> [sampling lax.scan]
+
+Chains are a leading vmapped axis (the reference is single-chain only,
+README.md:33-35). Cross-chain adaptation statistics are reduced with
+``jnp.mean`` locally and optionally ``lax.pmean``/``psum`` over a named mesh
+axis, so the same engine serves single-chain, single-chip multi-chain, and
+mesh-sharded sampling (``parallel/sharded.py``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlx_mcmc_tpu.kernels.adaptation import (
+    AdaptationState,
+    adaptation_init,
+    adaptation_update,
+    build_schedule,
+)
+from mlx_mcmc_tpu.kernels.base import TransitionInfo, Tunables
+from mlx_mcmc_tpu.kernels.hmc import make_hmc_kernel
+from mlx_mcmc_tpu.kernels.metropolis import make_metropolis_kernel
+from mlx_mcmc_tpu.kernels.nuts import make_nuts_kernel
+from mlx_mcmc_tpu.ops.math import WelfordState
+
+_DEFAULT_TARGET_ACCEPT = {"metropolis": 0.234, "hmc": 0.8, "nuts": 0.65}
+
+
+def make_kernel(kernel: str, flat_log_prob: Callable, **kwargs):
+    """Kernel factory by name: 'metropolis' | 'hmc' | 'nuts'."""
+    if kernel == "metropolis":
+        return make_metropolis_kernel(flat_log_prob)
+    if kernel == "hmc":
+        return make_hmc_kernel(
+            flat_log_prob,
+            num_leapfrog_steps=kwargs.get("num_leapfrog_steps", 10),
+        )
+    if kernel == "nuts":
+        return make_nuts_kernel(
+            flat_log_prob,
+            max_tree_depth=kwargs.get("max_tree_depth", 10),
+        )
+    raise ValueError(f"Unknown kernel: {kernel!r}")
+
+
+def default_target_accept(kernel: str) -> float:
+    return _DEFAULT_TARGET_ACCEPT[kernel]
+
+
+class ChainResult(NamedTuple):
+    """Raw engine output, all device-resident.
+
+    ``positions``: (chains, draws, D) post-warmup flat positions.
+    ``info``: TransitionInfo pytree with (chains, draws) leaves.
+    ``final_tunables``: adapted step size / inverse mass diagonal.
+    ``final_state``: kernel state pytree with leading chain axis (for resume).
+    """
+
+    positions: jnp.ndarray
+    info: TransitionInfo
+    final_tunables: Tunables
+    final_state: Any
+
+
+def _welford_pmean_reduce(axis_name: str):
+    """Pool Welford moments across a named mesh axis (exact merge via psum)."""
+
+    def reduce(w: WelfordState) -> WelfordState:
+        total = jax.lax.psum(w.count, axis_name)
+        safe_total = jnp.maximum(total, 1.0)
+        mean_g = jax.lax.psum(w.mean * w.count, axis_name) / safe_total
+        m2_g = jax.lax.psum(w.m2 + w.count * (w.mean - mean_g) ** 2, axis_name)
+        return WelfordState(total, mean_g, m2_g)
+
+    return reduce
+
+
+def build_sampler(
+    flat_log_prob: Callable[[jnp.ndarray], jnp.ndarray],
+    dim: int,
+    *,
+    kernel: str = "nuts",
+    num_warmup: int = 1000,
+    num_samples: int = 1000,
+    step_size: float = 0.1,
+    adapt_step_size: bool = True,
+    adapt_mass_matrix: bool = True,
+    target_accept: Optional[float] = None,
+    axis_name: Optional[str] = None,
+    collect_warmup: bool = False,
+    **kernel_kwargs,
+) -> Callable[[jnp.ndarray, jnp.ndarray], ChainResult]:
+    """Build a jittable ``run(key, z0_batch) -> ChainResult``.
+
+    ``z0_batch`` has shape (chains, D); every scan and the chain vmap live in
+    one traced function. ``axis_name`` names a mesh axis to additionally
+    ``pmean`` adaptation statistics over (used by the sharded driver).
+    """
+    if target_accept is None:
+        target_accept = default_target_accept(kernel)
+    init_fn, step_fn = make_kernel(kernel, flat_log_prob, **kernel_kwargs)
+
+    schedule = build_schedule(num_warmup, adapt_mass_matrix=adapt_mass_matrix)
+    in_slow = jnp.asarray(schedule.in_slow_window)
+    window_end = jnp.asarray(schedule.window_end)
+
+    welford_reduce = _welford_pmean_reduce(axis_name) if axis_name else None
+
+    def _reduce_mean(x):
+        m = jnp.mean(x)
+        if axis_name:
+            m = jax.lax.pmean(m, axis_name)
+        return m
+
+    def _current_tunables(adapt: AdaptationState) -> Tunables:
+        if adapt_step_size:
+            eps = jnp.exp(adapt.da.log_step)
+        else:
+            eps = jnp.asarray(step_size, jnp.float32)
+        return Tunables(step_size=eps, inv_mass_diag=adapt.inv_mass_diag)
+
+    def _final_tunables(adapt: AdaptationState) -> Tunables:
+        if adapt_step_size:
+            eps = jnp.exp(adapt.da.log_step_avg)
+        else:
+            eps = jnp.asarray(step_size, jnp.float32)
+        return Tunables(step_size=eps, inv_mass_diag=adapt.inv_mass_diag)
+
+    def run(chain_keys: jnp.ndarray, z0_batch: jnp.ndarray) -> ChainResult:
+        """``chain_keys``: (chains_local,) PRNG keys, one per chain. Per-step
+        keys are ``fold_in(chain_key, t)`` with a global step counter, so the
+        random stream of a chain is identical no matter how chains are laid
+        out across vmap batches or mesh shards (enables bit-identical
+        1-device vs N-device results)."""
+        states = jax.vmap(init_fn)(z0_batch)
+        adapt = adaptation_init(dim, step_size)
+
+        warmup_collect = None
+        if num_warmup > 0:
+
+            def warmup_body(carry, xs):
+                states, adapt = carry
+                t, slow_flag, end_flag = xs
+                keys = jax.vmap(lambda ck: jax.random.fold_in(ck, t))(chain_keys)
+                tunables = _current_tunables(adapt)
+                states, infos = jax.vmap(step_fn, in_axes=(0, 0, None))(
+                    keys, states, tunables
+                )
+                adapt = adaptation_update(
+                    adapt,
+                    _reduce_mean(infos.accept_prob),
+                    states.position,
+                    slow_flag,
+                    end_flag,
+                    target_accept,
+                    welford_reduce=welford_reduce,
+                )
+                out = (states.position, infos) if collect_warmup else None
+                return (states, adapt), out
+
+            steps = jnp.arange(num_warmup, dtype=jnp.int32)
+            (states, adapt), warmup_collect = jax.lax.scan(
+                warmup_body, (states, adapt), (steps, in_slow, window_end)
+            )
+
+        tunables = _final_tunables(adapt)
+
+        def sample_body(states, t):
+            keys = jax.vmap(lambda ck: jax.random.fold_in(ck, t))(chain_keys)
+            states, infos = jax.vmap(step_fn, in_axes=(0, 0, None))(
+                keys, states, tunables
+            )
+            return states, (states.position, infos)
+
+        sample_steps = jnp.arange(
+            num_warmup, num_warmup + num_samples, dtype=jnp.int32
+        )
+        states, (positions, infos) = jax.lax.scan(sample_body, states, sample_steps)
+
+        # (draws, chains, ...) -> (chains, draws, ...)
+        positions = jnp.swapaxes(positions, 0, 1)
+        infos = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 0, 1), infos)
+        result = ChainResult(
+            positions=positions,
+            info=infos,
+            final_tunables=tunables,
+            final_state=states,
+        )
+        if collect_warmup:
+            return result, warmup_collect
+        return result
+
+    return run
+
+
+def make_chain_keys(key, num_chains: int) -> jnp.ndarray:
+    """Derive one PRNG key per global chain index (layout-invariant)."""
+    return jax.vmap(lambda i: jax.random.fold_in(key, i))(
+        jnp.arange(num_chains, dtype=jnp.int32)
+    )
+
+
+def prepare_initial_positions(
+    initial_flat: jnp.ndarray,
+    num_chains: int,
+    key=None,
+    jitter: float = 0.0,
+) -> jnp.ndarray:
+    """Tile a single flat init to (chains, D), optionally jittered."""
+    z0 = jnp.broadcast_to(initial_flat, (num_chains,) + initial_flat.shape)
+    if jitter > 0.0 and key is not None:
+        z0 = z0 + jitter * jax.random.normal(key, z0.shape, z0.dtype)
+    return z0

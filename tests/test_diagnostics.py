@@ -1,0 +1,90 @@
+"""R-hat / ESS diagnostics tests against analytically known cases."""
+
+import numpy as np
+
+from mlx_mcmc_tpu.diagnostics import (
+    effective_sample_size,
+    potential_scale_reduction,
+    summary_stats,
+)
+
+
+def _ar1(rho, shape, rng):
+    out = np.empty(shape)
+    out[..., 0] = rng.normal(size=shape[:-1])
+    innov_scale = np.sqrt(1 - rho**2)
+    for t in range(1, shape[-1]):
+        out[..., t] = rho * out[..., t - 1] + innov_scale * rng.normal(
+            size=shape[:-1]
+        )
+    return out
+
+
+class TestRhat:
+    def test_iid_chains_near_one(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(4, 2000))
+        assert abs(potential_scale_reduction(x) - 1.0) < 0.01
+
+    def test_shifted_chains_large(self):
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(4, 1000)) + np.arange(4)[:, None] * 5.0
+        assert potential_scale_reduction(x) > 2.0
+
+    def test_split_detects_trend(self):
+        # A strong within-chain trend is invisible to unsplit R-hat.
+        x = np.linspace(0, 1, 1000)[None, :] + np.zeros((4, 1))
+        x = x + np.random.default_rng(2).normal(scale=0.01, size=x.shape)
+        assert potential_scale_reduction(x, split=True) > 1.5
+
+    def test_vectorized_params(self):
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(4, 500, 7))
+        r = potential_scale_reduction(x)
+        assert r.shape == (7,)
+        assert np.all(np.abs(r - 1.0) < 0.05)
+
+
+class TestESS:
+    def test_iid_ess_near_n(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(4, 2000))
+        ess = effective_sample_size(x)
+        assert 0.75 * 8000 < ess < 1.3 * 8000
+
+    def test_ar1_matches_theory(self):
+        rho = 0.9
+        rng = np.random.default_rng(1)
+        x = _ar1(rho, (8, 20000), rng)
+        ess = effective_sample_size(x)
+        expected = 8 * 20000 * (1 - rho) / (1 + rho)  # tau = (1+rho)/(1-rho)
+        assert 0.6 * expected < ess < 1.6 * expected
+
+    def test_anticorrelated_capped(self):
+        rng = np.random.default_rng(2)
+        x = _ar1(-0.5, (2, 5000), rng)
+        ess = effective_sample_size(x)
+        # super-efficient chains allowed but capped
+        assert ess > 2 * 5000
+
+    def test_vectorized_params(self):
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(2, 1000, 3))
+        ess = effective_sample_size(x)
+        assert ess.shape == (3,)
+
+
+class TestSummary:
+    def test_keys_match_reference_format(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 500))
+        s = summary_stats(x, credible_interval=0.95)
+        # Reference facade key format (mlx_mcmc/inference/mcmc.py:213-227).
+        assert list(s.keys())[:5] == ["mean", "std", "median", "2.5%", "97.5%"]
+        assert "n_eff" in s and "r_hat" in s
+
+    def test_nondefault_interval_keys(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(2, 500))
+        s = summary_stats(x, credible_interval=0.9)
+        assert "5.0%" in s and "95.0%" in s
