@@ -1,0 +1,125 @@
+"""Mesh-sharded multi-chain sampling with collective warmup adaptation.
+
+The distributed execution path (SURVEY.md §2.3 "TPU-native equivalents"):
+chains shard over a mesh axis via ``shard_map``; each shard runs the same
+compiled engine (``inference/engine.py``) with its local chain block, and the
+warmup adaptation statistics — mean acceptance for dual averaging, Welford
+moments for the mass matrix — are pooled across shards with
+``lax.pmean``/``psum`` every warmup step, giving all chains one shared step
+size and mass matrix exactly as a single-device run would compute them.
+
+Because per-chain RNG is keyed by *global* chain index (engine
+``make_chain_keys``), a sharded run is bit-identical to the equivalent
+single-device vmapped run.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mlx_mcmc_tpu.inference.api import MCMCResult, _as_key
+from mlx_mcmc_tpu.inference.engine import (
+    build_sampler,
+    make_chain_keys,
+    prepare_initial_positions,
+)
+from mlx_mcmc_tpu.ops.ravel import make_flat_logprob
+from mlx_mcmc_tpu.parallel.mesh import chain_mesh
+
+from jax import shard_map  # public API since jax 0.8
+
+
+def sample_sharded(
+    log_prob_fn: Callable[[Any], jnp.ndarray],
+    initial_params: Any,
+    *,
+    num_samples: int = 1000,
+    num_warmup: int = 1000,
+    num_chains: int = 8,
+    kernel: str = "nuts",
+    seed=0,
+    mesh: Optional[Mesh] = None,
+    axis: str = "chains",
+    step_size: float = 0.1,
+    adapt_step_size: bool = True,
+    adapt_mass_matrix: bool = True,
+    target_accept: Optional[float] = None,
+    jitter: float = 0.0,
+    **kernel_kwargs,
+) -> MCMCResult:
+    """Run chains sharded over ``mesh[axis]`` with collective adaptation.
+
+    ``num_chains`` must be divisible by the mesh axis size. Returns the same
+    :class:`MCMCResult` as :func:`mlx_mcmc_tpu.sample`, with sample arrays
+    sharded over chains (gather happens lazily on numpy conversion).
+    """
+    if mesh is None:
+        mesh = chain_mesh()
+    axis_size = mesh.shape[axis]
+    if num_chains % axis_size != 0:
+        raise ValueError(
+            f"num_chains={num_chains} not divisible by mesh axis "
+            f"'{axis}' of size {axis_size}"
+        )
+
+    flat_log_prob, z0, unravel = make_flat_logprob(log_prob_fn, initial_params)
+    dim = z0.shape[0]
+
+    run = build_sampler(
+        flat_log_prob,
+        dim,
+        kernel=kernel,
+        num_warmup=num_warmup,
+        num_samples=num_samples,
+        step_size=step_size,
+        adapt_step_size=adapt_step_size,
+        adapt_mass_matrix=adapt_mass_matrix,
+        target_accept=target_accept,
+        axis_name=axis,
+        **kernel_kwargs,
+    )
+
+    key = _as_key(seed)
+    key_init, key_run = jax.random.split(key)
+    z0_batch = prepare_initial_positions(z0, num_chains, key_init, jitter)
+    chain_keys = make_chain_keys(key_run, num_chains)
+
+    def shard_run(chain_keys_shard, z0_shard):
+        result = run(chain_keys_shard, z0_shard)
+        # Tunables are identical on every shard after collective adaptation;
+        # emit one leading shard axis so out_specs can declare them sharded,
+        # then take shard 0 outside.
+        tiled_tunables = jax.tree_util.tree_map(
+            lambda x: x[None], result.final_tunables
+        )
+        return result.positions, result.info, tiled_tunables, result.final_state
+
+    sharded = shard_map(
+        shard_run,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        # Kernel while-loop carries mix shard-invariant literals with
+        # shard-varying state; skip the varying-axes check rather than
+        # pcast-annotating every carry.
+        check_vma=False,
+    )
+
+    positions, info, tiled_tunables, final_state = jax.jit(sharded)(
+        chain_keys, z0_batch
+    )
+    tunables = jax.tree_util.tree_map(lambda x: x[0], tiled_tunables)
+
+    samples = jax.vmap(jax.vmap(unravel))(positions)
+    return MCMCResult(
+        samples=samples,
+        info=info,
+        tunables=tunables,
+        num_chains=num_chains,
+        num_samples=num_samples,
+        kernel=kernel,
+    )
