@@ -29,6 +29,14 @@ from mlx_mcmc_tpu.distributions import (
     Gamma,
     Exponential,
     Categorical,
+    Bernoulli,
+    Uniform,
+    LogNormal,
+    StudentT,
+    Poisson,
+    Dirichlet,
+    MultivariateNormal,
+    make_transformed_logprob,
 )
 from mlx_mcmc_tpu.kernels import hmc, metropolis_hastings, nuts
 from mlx_mcmc_tpu.inference import MCMC, MCMCResult, sample
@@ -41,6 +49,14 @@ __all__ = [
     "Gamma",
     "Exponential",
     "Categorical",
+    "Bernoulli",
+    "Uniform",
+    "LogNormal",
+    "StudentT",
+    "Poisson",
+    "Dirichlet",
+    "MultivariateNormal",
+    "make_transformed_logprob",
     "metropolis_hastings",
     "hmc",
     "nuts",

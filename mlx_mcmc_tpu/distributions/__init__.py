@@ -11,6 +11,24 @@ from mlx_mcmc_tpu.distributions.beta import Beta
 from mlx_mcmc_tpu.distributions.gamma import Gamma
 from mlx_mcmc_tpu.distributions.exponential import Exponential
 from mlx_mcmc_tpu.distributions.categorical import Categorical
+from mlx_mcmc_tpu.distributions.extras import (
+    Bernoulli,
+    Dirichlet,
+    LogNormal,
+    MultivariateNormal,
+    Poisson,
+    StudentT,
+    Uniform,
+)
+from mlx_mcmc_tpu.distributions.transforms import (
+    Exp,
+    Identity,
+    Sigmoid,
+    Softplus,
+    StickBreaking,
+    Transform,
+    make_transformed_logprob,
+)
 
 __all__ = [
     "Distribution",
@@ -20,4 +38,18 @@ __all__ = [
     "Gamma",
     "Exponential",
     "Categorical",
+    "Bernoulli",
+    "Uniform",
+    "LogNormal",
+    "StudentT",
+    "Poisson",
+    "Dirichlet",
+    "MultivariateNormal",
+    "Transform",
+    "Identity",
+    "Exp",
+    "Softplus",
+    "Sigmoid",
+    "StickBreaking",
+    "make_transformed_logprob",
 ]

@@ -124,6 +124,8 @@ def sample(
     target_accept: Optional[float] = None,
     jitter: float = 0.0,
     batched_initial: bool = False,
+    transforms: Optional[dict] = None,
+    config=None,
     **kernel_kwargs,
 ) -> MCMCResult:
     """Run compiled multi-chain MCMC against a dict-of-params model.
@@ -132,7 +134,46 @@ def sample(
     through: ``num_leapfrog_steps`` (hmc), ``max_tree_depth`` (nuts).
     With ``batched_initial=True`` every leaf of ``initial_params`` carries a
     leading ``num_chains`` axis (per-chain starting points).
+
+    ``transforms`` maps parameter names to unconstraining transforms (names
+    like 'log'/'logit'/'simplex' or Transform instances): those parameters
+    are sampled in unconstrained space with the Jacobian correction applied,
+    and draws are returned in constrained space.
+
+    ``config`` (a :class:`mlx_mcmc_tpu.utils.SamplerConfig`) supplies the run
+    settings in one typed object; its fields replace the corresponding
+    keyword arguments.
     """
+    if config is not None:
+        kw = config.to_kwargs()
+        kw.update(kernel_kwargs)
+        return sample(
+            log_prob_fn,
+            initial_params,
+            batched_initial=batched_initial,
+            transforms=transforms,
+            **kw,
+        )
+    if transforms:
+        from mlx_mcmc_tpu.distributions.transforms import make_transformed_logprob
+
+        log_prob_fn, to_constrained, to_unconstrained = make_transformed_logprob(
+            log_prob_fn, transforms
+        )
+        if batched_initial:
+            initial_params = jax.vmap(to_unconstrained)(
+                jax.tree_util.tree_map(
+                    lambda x: jnp.asarray(x, jnp.result_type(float)), initial_params
+                )
+            )
+        else:
+            initial_params = to_unconstrained(
+                jax.tree_util.tree_map(
+                    lambda x: jnp.asarray(x, jnp.result_type(float)), initial_params
+                )
+            )
+    else:
+        to_constrained = None
     if batched_initial:
         example = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x, jnp.result_type(float))[0], initial_params
@@ -178,6 +219,8 @@ def sample(
     result: ChainResult = jax.jit(run)(chain_keys, z0_batch)
 
     samples = jax.vmap(jax.vmap(unravel))(result.positions)
+    if to_constrained is not None:
+        samples = to_constrained(samples)
     return MCMCResult(
         samples=samples,
         info=result.info,

@@ -38,18 +38,24 @@ _DEFAULT_TARGET_ACCEPT = {"metropolis": 0.234, "hmc": 0.8, "nuts": 0.65}
 
 
 def make_kernel(kernel: str, flat_log_prob: Callable, **kwargs):
-    """Kernel factory by name: 'metropolis' | 'hmc' | 'nuts'."""
+    """Kernel factory by name: 'metropolis' | 'hmc' | 'nuts'.
+
+    ``value_and_grad_fn`` (hmc/nuts) swaps in a fused Pallas implementation
+    of the leapfrog hot op.
+    """
     if kernel == "metropolis":
         return make_metropolis_kernel(flat_log_prob)
     if kernel == "hmc":
         return make_hmc_kernel(
             flat_log_prob,
             num_leapfrog_steps=kwargs.get("num_leapfrog_steps", 10),
+            value_and_grad_fn=kwargs.get("value_and_grad_fn"),
         )
     if kernel == "nuts":
         return make_nuts_kernel(
             flat_log_prob,
             max_tree_depth=kwargs.get("max_tree_depth", 10),
+            value_and_grad_fn=kwargs.get("value_and_grad_fn"),
         )
     raise ValueError(f"Unknown kernel: {kernel!r}")
 
@@ -99,6 +105,7 @@ def build_sampler(
     target_accept: Optional[float] = None,
     axis_name: Optional[str] = None,
     collect_warmup: bool = False,
+    init_inv_mass_diag=None,
     **kernel_kwargs,
 ) -> Callable[[jnp.ndarray, jnp.ndarray], ChainResult]:
     """Build a jittable ``run(key, z0_batch) -> ChainResult``.
@@ -144,7 +151,7 @@ def build_sampler(
         out across vmap batches or mesh shards (enables bit-identical
         1-device vs N-device results)."""
         states = jax.vmap(init_fn)(z0_batch)
-        adapt = adaptation_init(dim, step_size)
+        adapt = adaptation_init(dim, step_size, init_inv_mass_diag)
 
         warmup_collect = None
         if num_warmup > 0:

@@ -145,11 +145,15 @@ class AdaptationState(NamedTuple):
     inv_mass_diag: jnp.ndarray
 
 
-def adaptation_init(dim: int, step_size: float) -> AdaptationState:
+def adaptation_init(
+    dim: int, step_size: float, inv_mass_diag=None
+) -> AdaptationState:
+    if inv_mass_diag is None:
+        inv_mass_diag = jnp.ones((dim,), jnp.float32)
     return AdaptationState(
         da=da_init(step_size),
         welford=welford_init(dim),
-        inv_mass_diag=jnp.ones((dim,), jnp.float32),
+        inv_mass_diag=jnp.asarray(inv_mass_diag, jnp.float32),
     )
 
 

@@ -35,10 +35,11 @@ def make_hmc_kernel(
     flat_log_prob: Callable[[jnp.ndarray], jnp.ndarray],
     num_leapfrog_steps: int = 10,
     max_delta_energy: float = 1000.0,
+    value_and_grad_fn=None,
 ) -> Tuple[Callable, Callable]:
     """Build ``(init_fn, step_fn)`` for HMC with a static leapfrog count."""
-    leapfrog = make_leapfrog(flat_log_prob)
-    value_and_grad = jax.value_and_grad(flat_log_prob)
+    leapfrog = make_leapfrog(flat_log_prob, value_and_grad_fn)
+    value_and_grad = value_and_grad_fn or jax.value_and_grad(flat_log_prob)
 
     def init_fn(position: jnp.ndarray) -> HMCState:
         log_prob, grad = value_and_grad(position)

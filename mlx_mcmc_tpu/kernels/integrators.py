@@ -44,14 +44,19 @@ def sample_momentum(key, inv_mass_diag: jnp.ndarray) -> jnp.ndarray:
 
 def make_leapfrog(
     flat_log_prob: Callable[[jnp.ndarray], jnp.ndarray],
+    value_and_grad_fn=None,
 ) -> Callable[[IntegratorState, jnp.ndarray, jnp.ndarray], IntegratorState]:
     """Build a single-step leapfrog for ``flat_log_prob``.
 
     One gradient evaluation per step: the closing half-kick of step ``k``
     reuses the gradient that opens step ``k+1`` (the reference recomputes the
     gradient twice per step, hmc.py:81-94).
+
+    ``value_and_grad_fn`` optionally replaces ``jax.value_and_grad`` with a
+    hand-fused implementation (e.g. the Pallas GLM kernel,
+    ops/pallas/glm.py) — the sampler hot op.
     """
-    value_and_grad = jax.value_and_grad(flat_log_prob)
+    value_and_grad = value_and_grad_fn or jax.value_and_grad(flat_log_prob)
 
     def leapfrog(state: IntegratorState, eps, inv_mass_diag) -> IntegratorState:
         r_half = state.r + 0.5 * eps * state.grad

@@ -91,14 +91,15 @@ def make_nuts_kernel(
     flat_log_prob: Callable[[jnp.ndarray], jnp.ndarray],
     max_tree_depth: int = 10,
     max_delta_energy: float = DELTA_MAX,
+    value_and_grad_fn=None,
 ) -> Tuple[Callable, Callable]:
     """Build ``(init_fn, step_fn)`` for iterative multinomial NUTS.
 
     State is shared with HMC (:class:`HMCState`): position + cached
     log-prob/gradient, so one gradient evaluation per leapfrog step total.
     """
-    leapfrog = make_leapfrog(flat_log_prob)
-    value_and_grad = jax.value_and_grad(flat_log_prob)
+    leapfrog = make_leapfrog(flat_log_prob, value_and_grad_fn)
+    value_and_grad = value_and_grad_fn or jax.value_and_grad(flat_log_prob)
 
     def init_fn(position: jnp.ndarray) -> HMCState:
         log_prob, grad = value_and_grad(position)

@@ -1,0 +1,224 @@
+"""Fused logistic-GLM log-likelihood + gradient Pallas kernel.
+
+Computes, for a chain batch ``Z`` of coefficient vectors:
+
+    s      = X @ z            (per chain)
+    ll     = sum_i y_i s_i - softplus(s_i)
+    grad   = X^T (y - sigmoid(s))
+
+in ONE pass over ``X``: each (TILE_N, D) tile of the design matrix is DMA'd
+to VMEM once and used for both the forward matmul and the transposed gradient
+matmul while resident (XLA's value_and_grad reads X twice — once forward,
+once backward). For HBM-bandwidth-bound sizes (X >> VMEM) this halves the
+dominant memory traffic of every leapfrog step.
+
+Zero-padding trick instead of masking: rows padded with ``X=0, y=0``
+contribute a constant ``-log 2`` to the log-likelihood (``s=0`` independent
+of z, so zero gradient); the wrapper subtracts the constant. Chain and
+feature axes are padded to lane multiples (128).
+
+Integration: :func:`make_fused_logistic_vag` returns a drop-in
+``value_and_grad(flat_log_prob)`` replacement with a ``custom_vmap`` rule, so
+the engine's per-chain ``vmap`` dispatches to the batched kernel instead of
+re-reading X once per chain.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+_DEFAULT_TILE_N = 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _softplus(s):
+    return jnp.maximum(s, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(s)))
+
+
+def _fused_kernel(x_ref, y_ref, bt_ref, ll_ref, g_ref):
+    """Grid: one program per row tile. Outputs use constant index maps, so
+    they stay VMEM-resident across sequential grid steps and act as
+    accumulators."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        ll_ref[:] = jnp.zeros_like(ll_ref)
+        g_ref[:] = jnp.zeros_like(g_ref)
+
+    x = x_ref[:]  # (TILE_N, Dp)
+    y = y_ref[:]  # (TILE_N, 1)
+    bt = bt_ref[:]  # (Dp, Cp)
+
+    s = jnp.dot(x, bt, preferred_element_type=jnp.float32)  # (TILE_N, Cp) MXU
+    r = y - jax.nn.sigmoid(s)  # residual (TILE_N, Cp)
+    ll_tile = jnp.sum(y * s - _softplus(s), axis=0, keepdims=True)  # (1, Cp)
+
+    ll_ref[:] += ll_tile
+    # X^T r while the X tile is still in VMEM: (Dp, TILE_N) @ (TILE_N, Cp).
+    g_ref[:] += jax.lax.dot_general(
+        x,
+        r,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _fused_padded_call(Xp, yp, Bt, tile_n: int, interpret: bool):
+    """Pallas call on pre-padded operands: Xp (n_pad, d_pad), yp (n_pad, 1),
+    Bt (d_pad, c_pad). Returns (ll_pad (1, c_pad), g_pad (d_pad, c_pad))."""
+    n_pad, d_pad = Xp.shape
+    c_pad = Bt.shape[1]
+    grid = (n_pad // tile_n,)
+    return pl.pallas_call(
+        _fused_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, c_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, c_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, c_pad), jnp.float32),
+            jax.ShapeDtypeStruct((d_pad, c_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n_pad * d_pad * c_pad,
+            bytes_accessed=n_pad * d_pad * 4 + 2 * d_pad * c_pad * 4,
+            transcendentals=n_pad * c_pad,
+        ),
+        interpret=interpret,
+    )(Xp, yp, Bt)
+
+
+def _pad_data(X, y, tile_n: int):
+    """One-time zero-padding of the design matrix (hoist OUT of hot loops —
+    re-padding 100s of MB per leapfrog would dominate the runtime)."""
+    n, d = X.shape
+    n_pad = _round_up(max(n, 8), tile_n)
+    d_pad = _round_up(d, _LANE)
+    Xp = jnp.zeros((n_pad, d_pad), jnp.float32).at[:n, :d].set(X.astype(jnp.float32))
+    yp = jnp.zeros((n_pad, 1), jnp.float32).at[:n, 0].set(y.astype(jnp.float32))
+    return Xp, yp
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def fused_logistic_value_and_grad(
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    Z: jnp.ndarray,
+    tile_n: int = _DEFAULT_TILE_N,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched fused Bernoulli log-likelihood and gradient.
+
+    Convenience entry that pads per call — for repeated evaluation inside a
+    sampler use :func:`make_fused_logistic_vag`, which pads the data once.
+
+    Args:
+        X: (N, D) f32 design matrix.
+        y: (N,) f32 0/1 outcomes.
+        Z: (C, D) f32 chain batch of coefficients.
+
+    Returns:
+        (ll (C,), grad (C, D)).
+    """
+    n, d = X.shape
+    c = Z.shape[0]
+    c_pad = _round_up(c, _LANE)
+    Xp, yp = _pad_data(X, y, tile_n)
+    d_pad = Xp.shape[1]
+    Bt = jnp.zeros((d_pad, c_pad), jnp.float32).at[:d, :c].set(
+        Z.astype(jnp.float32).T
+    )
+    ll_pad, g_pad = _fused_padded_call(Xp, yp, Bt, tile_n, interpret)
+    # Each of the (n_pad - n) zero rows contributed exactly -log(2); add it back.
+    ll = ll_pad[0, :c] + (Xp.shape[0] - n) * np.float32(np.log(2.0))
+    grad = g_pad[:d, :c].T
+    return ll, grad
+
+
+def _reference_value_and_grad(X, y, Z):
+    """jnp fallback (CPU tests / correctness oracle)."""
+
+    def one(z):
+        s = X @ z
+        return jnp.sum(y * s - _softplus(s))
+
+    return jax.vmap(jax.value_and_grad(one))(Z)
+
+
+def make_fused_logistic_vag(
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    prior_scale: float = 1.0,
+    tile_n: int = _DEFAULT_TILE_N,
+    use_pallas: bool | None = None,
+) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Build ``value_and_grad`` of the full logistic log-posterior
+    (likelihood + N(0, prior_scale) prior), with a custom_vmap rule that
+    routes the engine's chain-vmap into the batched fused kernel.
+
+    ``use_pallas=None`` auto-selects: the compiled kernel on TPU, the jnp
+    reference path elsewhere (CPU Pallas only supports interpret mode).
+    """
+    import math
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+    inv_var = 1.0 / (prior_scale * prior_scale)
+    n, d = X.shape
+    log_norm = -0.5 * d * math.log(2.0 * math.pi * prior_scale * prior_scale)
+
+    # Pad the heavy operands ONCE at build time; per-call work is only the
+    # (small) chain-batch transpose/pad.
+    Xp, yp = _pad_data(X, y, tile_n) if use_pallas else (None, None)
+    pad_const = (
+        (Xp.shape[0] - n) * np.float32(np.log(2.0)) if use_pallas else 0.0
+    )
+
+    def _prior(z):
+        return log_norm - 0.5 * inv_var * jnp.sum(z * z, axis=-1)
+
+    def _batched(Z):
+        if use_pallas:
+            c = Z.shape[0]
+            c_pad = _round_up(c, _LANE)
+            d_pad = Xp.shape[1]
+            Bt = jnp.zeros((d_pad, c_pad), jnp.float32).at[:d, :c].set(
+                Z.astype(jnp.float32).T
+            )
+            ll_pad, g_pad = _fused_padded_call(Xp, yp, Bt, tile_n, False)
+            ll = ll_pad[0, :c] + pad_const
+            g = g_pad[:d, :c].T
+        else:
+            ll, g = _reference_value_and_grad(X, y, Z)
+        return ll + _prior(Z), g - inv_var * Z
+
+    @jax.custom_batching.custom_vmap
+    def vag(z):
+        ll, g = _batched(z[None])
+        return ll[0], g[0]
+
+    @vag.def_vmap
+    def _vag_vmap(axis_size, in_batched, Z):
+        del axis_size, in_batched
+        ll, g = _batched(Z)
+        return (ll, g), (True, True)
+
+    return vag

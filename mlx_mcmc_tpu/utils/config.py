@@ -1,0 +1,68 @@
+"""Typed configuration dataclasses (SURVEY.md §5.6: the reference has no
+config system — everything is loose kwargs at each layer). These stay
+kwargs-friendly: ``sample(..., config=SamplerConfig(...))`` is equivalent to
+spelling the fields out, and ``to_kwargs()`` flattens for the functional API.
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class AdaptationConfig:
+    """Warmup adaptation settings (Stan-style windowed schedule)."""
+
+    adapt_step_size: bool = True
+    adapt_mass_matrix: bool = True
+    target_accept: Optional[float] = None  # kernel-dependent default
+    init_buffer: int = 75
+    term_buffer: int = 50
+    base_window: int = 25
+
+
+@dataclass(frozen=True)
+class SamplerConfig:
+    """Full sampler run configuration."""
+
+    kernel: str = "nuts"
+    num_samples: int = 1000
+    num_warmup: int = 1000
+    num_chains: int = 1
+    step_size: float = 0.1
+    num_leapfrog_steps: int = 10  # hmc only
+    max_tree_depth: int = 10  # nuts only
+    seed: int = 0
+    jitter: float = 0.0
+    adaptation: AdaptationConfig = field(default_factory=AdaptationConfig)
+
+    def to_kwargs(self) -> dict:
+        kw = asdict(self)
+        ad = kw.pop("adaptation")
+        kw.update(
+            adapt_step_size=ad["adapt_step_size"],
+            adapt_mass_matrix=ad["adapt_mass_matrix"],
+            target_accept=ad["target_accept"],
+        )
+        if self.kernel != "hmc":
+            kw.pop("num_leapfrog_steps")
+        if self.kernel != "nuts":
+            kw.pop("max_tree_depth")
+        return kw
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for sharded sampling."""
+
+    chains: Optional[int] = None  # mesh axis size; None = all devices
+    data: int = 1
+    axis_names: Tuple[str, str] = ("chains", "data")
+
+    def build(self):
+        from mlx_mcmc_tpu.parallel.mesh import chain_mesh, data_chain_mesh
+
+        if self.data == 1:
+            return chain_mesh(num_devices=self.chains)
+        return data_chain_mesh(self.chains, self.data)

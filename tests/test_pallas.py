@@ -1,0 +1,107 @@
+"""Fused GLM kernel tests (interpret mode on CPU; the compiled path is
+exercised by bench.py on real TPU hardware)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlx_mcmc_tpu.ops.pallas.glm import (
+    _reference_value_and_grad,
+    fused_logistic_value_and_grad,
+    make_fused_logistic_vag,
+)
+
+
+@pytest.fixture(scope="module")
+def problem():
+    key = jax.random.PRNGKey(0)
+    kx, ky, kz = jax.random.split(key, 3)
+    n, d, c = 300, 17, 5  # deliberately unaligned shapes
+    X = jax.random.normal(kx, (n, d), jnp.float32)
+    y = jax.random.bernoulli(ky, 0.4, (n,)).astype(jnp.float32)
+    Z = 0.3 * jax.random.normal(kz, (c, d), jnp.float32)
+    return X, y, Z
+
+
+class TestFusedKernel:
+    def test_matches_xla_value_and_grad(self, problem):
+        X, y, Z = problem
+        ll_ref, g_ref = _reference_value_and_grad(X, y, Z)
+        ll, g = fused_logistic_value_and_grad(X, y, Z, tile_n=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref), rtol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(g_ref), rtol=2e-4, atol=2e-5
+        )
+
+    def test_padding_constant_correction(self, problem):
+        # n not a multiple of tile_n: zero-row padding must not shift ll.
+        X, y, Z = problem
+        ll_a, _ = fused_logistic_value_and_grad(X, y, Z, tile_n=256, interpret=True)
+        ll_b, _ = fused_logistic_value_and_grad(X, y, Z, tile_n=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(ll_a), np.asarray(ll_b), rtol=1e-5)
+
+    def test_single_row_batch(self, problem):
+        X, y, Z = problem
+        ll, g = fused_logistic_value_and_grad(X, y, Z[:1], tile_n=128, interpret=True)
+        assert ll.shape == (1,) and g.shape == (1, X.shape[1])
+
+
+class TestVagWrapper:
+    def test_scalar_and_vmap_paths_agree(self, problem):
+        X, y, Z = problem
+        vag = make_fused_logistic_vag(X, y, prior_scale=2.0, use_pallas=False)
+        ll_s, g_s = vag(Z[0])
+        ll_b, g_b = jax.vmap(vag)(Z)
+        np.testing.assert_allclose(float(ll_s), float(ll_b[0]), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(g_s), np.asarray(g_b[0]), rtol=1e-5, atol=1e-6
+        )
+
+    def test_matches_model_logprob(self, problem):
+        # The fused posterior must equal the model's log_prob + grad.
+        X, y, Z = problem
+        from mlx_mcmc_tpu.distributions import Normal
+
+        def log_prob(z):
+            s = X @ z
+            return jnp.sum(y * s - jax.nn.softplus(s)) + jnp.sum(
+                Normal(0.0, 2.0).log_prob(z)
+            )
+
+        vag = make_fused_logistic_vag(X, y, prior_scale=2.0, use_pallas=False)
+        ll, g = vag(Z[0])
+        ll_ref, g_ref = jax.value_and_grad(log_prob)(Z[0])
+        np.testing.assert_allclose(float(ll), float(ll_ref), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4)
+
+    def test_sampler_integration(self, problem):
+        # End to end: NUTS with the fused vag (reference path) recovers the
+        # same posterior as plain XLA autodiff.
+        X, y, Z = problem
+        from mlx_mcmc_tpu import sample
+        from mlx_mcmc_tpu.distributions import Normal
+
+        def log_prob(params):
+            z = params["beta"]
+            s = X @ z
+            return jnp.sum(y * s - jax.nn.softplus(s)) + jnp.sum(
+                Normal(0.0, 1.0).log_prob(z)
+            )
+
+        vag = make_fused_logistic_vag(X, y, prior_scale=1.0, use_pallas=False)
+        kwargs = dict(num_samples=300, num_warmup=300, num_chains=2, seed=0)
+        res_fused = sample(
+            log_prob,
+            {"beta": jnp.zeros(X.shape[1])},
+            kernel="nuts",
+            value_and_grad_fn=vag,
+            **kwargs,
+        )
+        res_plain = sample(
+            log_prob, {"beta": jnp.zeros(X.shape[1])}, kernel="nuts", **kwargs
+        )
+        a = np.asarray(res_fused.samples["beta"]).reshape(-1, X.shape[1])
+        b = np.asarray(res_plain.samples["beta"]).reshape(-1, X.shape[1])
+        # identical up to float reassociation inside the fused contraction
+        np.testing.assert_allclose(a.mean(axis=0), b.mean(axis=0), atol=0.08)
