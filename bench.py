@@ -1,47 +1,89 @@
-"""Flagship benchmark: NUTS effective samples/sec/chip on the 100-param GLM.
+"""Flagship benchmark: NUTS effective samples/sec/chip on GLM posteriors.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "ess/s", "vs_baseline": N}
+
+Configs (select with BENCH_CONFIG env var or argv[1]):
+    glm100  (default): 100 params, 10K obs, 64 chains  — BASELINE.md medium
+    glm1000          : 1000 params, 100K obs, 16 chains — BASELINE.md large
 
 Baseline derivation (see BASELINE.md — the reference publishes no rigorous
 numbers): the reference's claimed medium-model wall time (100 params,
 10K obs) is 120 s on M3 Pro CPU (README.md:105-113) for a standard
 1000-draw run; its measured ESS fraction is ~5.3% (PROGRESS.md:80-82,
-264/5000), giving ~53 effective samples / 120 s ~= 0.44 ess/s. That number
-is what `vs_baseline` divides by.
+264/5000), giving ~53 effective samples / 120 s ~= 0.44 ess/s. The large
+config's implied baseline is 30 min for the same run shape ~= 0.03 ess/s
+(README.md:105-113 "Large model" row). `vs_baseline` divides by these.
+
+Data is passed to the sampler as a runtime argument (`sample(..., data=...)`)
+rather than a closure constant — closure constants are serialized into the
+program body, which bloats (and on remote-compile backends, breaks)
+compilation for multi-hundred-MB design matrices.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
+CONFIGS = {
+    "glm100": dict(
+        num_features=100, num_obs=10_000, num_chains=64,
+        num_warmup=500, num_samples=500, max_tree_depth=8,
+        baseline_ess_per_sec=0.44,
+        label="min-ESS/sec/chip, NUTS 100-param logistic GLM (10K obs, 64 chains)",
+    ),
+    "glm1000": dict(
+        num_features=1000, num_obs=100_000, num_chains=16,
+        num_warmup=400, num_samples=400, max_tree_depth=8,
+        baseline_ess_per_sec=0.03,
+        label="min-ESS/sec/chip, NUTS 1000-param logistic GLM (100K obs, 16 chains)",
+    ),
+}
+
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
     from mlx_mcmc_tpu import sample
     from mlx_mcmc_tpu.diagnostics import effective_sample_size
     from mlx_mcmc_tpu.models import make_logistic_regression
 
-    num_chains = 64
-    num_warmup = 500
-    num_samples = 500
+    name = os.environ.get("BENCH_CONFIG") or (
+        sys.argv[1] if len(sys.argv) > 1 else "glm100"
+    )
+    cfg = CONFIGS[name]
 
-    spec = make_logistic_regression(num_features=100, num_obs=10_000, seed=0)
+    spec = make_logistic_regression(
+        num_features=cfg["num_features"], num_obs=cfg["num_obs"], seed=0
+    )
+    data = {"X": spec.X, "y": spec.y}
+
+    def log_prob(params, data):
+        beta = params["beta"]
+        s = jnp.dot(data["X"], beta, preferred_element_type=jnp.float32)
+        from mlx_mcmc_tpu.distributions import Normal
+
+        return jnp.sum(data["y"] * s - jax.nn.softplus(s)) + jnp.sum(
+            Normal(0.0, 1.0).log_prob(beta)
+        )
 
     def run(seed):
         return sample(
-            spec.log_prob,
-            spec.initial_params,
-            num_samples=num_samples,
-            num_warmup=num_warmup,
-            num_chains=num_chains,
+            log_prob,
+            {"beta": jnp.zeros(cfg["num_features"])},
+            data=data,
+            num_samples=cfg["num_samples"],
+            num_warmup=cfg["num_warmup"],
+            num_chains=cfg["num_chains"],
             kernel="nuts",
             seed=seed,
-            max_tree_depth=8,
+            max_tree_depth=cfg["max_tree_depth"],
             target_accept=0.8,
         )
 
@@ -52,21 +94,20 @@ def main() -> None:
 
     t0 = time.time()
     result = run(1)
-    draws = np.asarray(result.samples["beta"])  # (chains, draws, 100)
+    draws = np.asarray(result.samples["beta"])  # (chains, draws, D)
     wall = time.time() - t0
 
-    ess = effective_sample_size(draws)  # (100,)
+    ess = effective_sample_size(draws)  # (D,)
     min_ess = float(np.min(ess))
     ess_per_sec = min_ess / wall
 
-    baseline = 0.44  # ess/s, reference-implied (see module docstring)
     print(
         json.dumps(
             {
-                "metric": "min-ESS/sec/chip, NUTS 100-param logistic GLM (10K obs, 64 chains)",
+                "metric": cfg["label"],
                 "value": round(ess_per_sec, 2),
                 "unit": "ess/s",
-                "vs_baseline": round(ess_per_sec / baseline, 1),
+                "vs_baseline": round(ess_per_sec / cfg["baseline_ess_per_sec"], 1),
                 "detail": {
                     "wall_seconds": round(wall, 2),
                     "min_ess": round(min_ess, 1),
@@ -74,6 +115,9 @@ def main() -> None:
                     "divergences": result.divergences,
                     "mean_accept": round(
                         float(np.asarray(result.info.accept_prob).mean()), 3
+                    ),
+                    "mean_tree_depth": round(
+                        float(np.asarray(result.info.tree_depth).mean()), 2
                     ),
                     "device": str(jax.devices()[0]),
                 },

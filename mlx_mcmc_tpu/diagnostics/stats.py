@@ -16,6 +16,25 @@ from __future__ import annotations
 
 import numpy as np
 
+try:  # native OpenMP engine (src/fastdiag/fastdiag.c); numpy is the fallback
+    from mlx_mcmc_tpu import _fastdiag
+except ImportError:  # pragma: no cover - extension not built
+    _fastdiag = None
+
+# Below this many (chains*draws*params) elements the numpy path wins on
+# call overhead; above it the native path wins on parallelism + no temps.
+_NATIVE_MIN_ELEMS = 1 << 18
+
+
+def _as_cnp(x: np.ndarray):
+    """(chains, draws, ...) -> C-contiguous f64 (chains, draws, P) + shape."""
+    trailing = x.shape[2:]
+    p = int(np.prod(trailing)) if trailing else 1
+    flat = np.ascontiguousarray(
+        x.reshape(x.shape[0], x.shape[1], p), dtype=np.float64
+    )
+    return flat, trailing
+
 
 def _split_chains(x: np.ndarray) -> np.ndarray:
     """(chains, draws, ...) -> (2*chains, draws//2, ...), dropping an odd draw."""
@@ -25,13 +44,22 @@ def _split_chains(x: np.ndarray) -> np.ndarray:
     return np.concatenate([x[:, :half], x[:, half:]], axis=0)
 
 
-def potential_scale_reduction(x: np.ndarray, split: bool = True) -> np.ndarray:
+def potential_scale_reduction(
+    x: np.ndarray, split: bool = True, use_native: bool | None = None
+) -> np.ndarray:
     """Split R-hat. ``x`` is (chains, draws, ...); returns shape ``(...)``.
 
     With a single unsplit chain this is undefined; splitting always yields
     >= 2 chains so single-chain runs still get a meaningful statistic.
+    ``use_native=None`` auto-selects the OpenMP engine for large inputs.
     """
     x = np.asarray(x, np.float64)
+    if split and _fastdiag is not None and x.shape[1] >= 4:
+        if use_native or (use_native is None and x.size >= _NATIVE_MIN_ELEMS):
+            flat, trailing = _as_cnp(x)
+            c, n, p = flat.shape
+            out = np.asarray(_fastdiag.rhat(flat, c, n, p))
+            return out.reshape(trailing) if trailing else out[0]
     if split:
         x = _split_chains(x)
     m, n = x.shape[0], x.shape[1]
@@ -47,15 +75,26 @@ def potential_scale_reduction(x: np.ndarray, split: bool = True) -> np.ndarray:
     return rhat
 
 
-def effective_sample_size(x: np.ndarray) -> np.ndarray:
-    """Combined-chain ESS via FFT autocovariance + Geyer truncation.
+def effective_sample_size(
+    x: np.ndarray, use_native: bool | None = None
+) -> np.ndarray:
+    """Combined-chain ESS via autocovariance + Geyer truncation.
 
     ``x`` is (chains, draws, ...); returns shape ``(...)``.
+    ``use_native=None`` auto-selects the OpenMP direct-autocovariance engine
+    (early lag termination) for large inputs; numpy FFT otherwise.
     """
     x = np.asarray(x, np.float64)
     m, n = x.shape[0], x.shape[1]
     if n < 4:
         return np.full(x.shape[2:], np.nan)
+    if _fastdiag is not None and (
+        use_native or (use_native is None and x.size >= _NATIVE_MIN_ELEMS)
+    ):
+        flat, trailing = _as_cnp(x)
+        c, nn, p = flat.shape
+        out = np.asarray(_fastdiag.ess(flat, c, nn, p))
+        return out.reshape(trailing) if trailing else out[0]
 
     # Per-chain autocovariance by FFT (biased, /n normalization as in Stan).
     centered = x - x.mean(axis=1, keepdims=True)

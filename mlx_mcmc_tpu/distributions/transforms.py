@@ -139,14 +139,17 @@ def get_transform(t) -> Transform:
 
 
 def make_transformed_logprob(
-    log_prob_fn: Callable[[Any], jnp.ndarray],
+    log_prob_fn: Callable[..., jnp.ndarray],
     transforms: Dict[str, Any],
+    data_aware: bool = False,
 ) -> Tuple[Callable, Callable, Callable]:
     """Rewrite a dict-of-params model to sample in unconstrained space.
 
     Returns ``(u_log_prob, to_constrained, to_unconstrained)`` where
     ``u_log_prob(u_params) = log_prob(constrain(u_params)) + log|J|``.
     Parameters not named in ``transforms`` pass through unchanged.
+    With ``data_aware=True`` the model (and the returned ``u_log_prob``)
+    additionally take a ``data`` argument.
     """
     tfs = {k: get_transform(v) for k, v in transforms.items()}
 
@@ -162,10 +165,20 @@ def make_transformed_logprob(
             for k, v in params.items()
         }
 
-    def u_log_prob(u_params):
-        lp = log_prob_fn(to_constrained(u_params))
+    def _jacobian(u_params):
+        lp = jnp.zeros(())
         for k, tf in tfs.items():
             lp = lp + tf.log_det_jacobian(jnp.asarray(u_params[k]))
         return lp
+
+    if data_aware:
+
+        def u_log_prob(u_params, data):
+            return log_prob_fn(to_constrained(u_params), data) + _jacobian(u_params)
+
+    else:
+
+        def u_log_prob(u_params):
+            return log_prob_fn(to_constrained(u_params)) + _jacobian(u_params)
 
     return u_log_prob, to_constrained, to_unconstrained

@@ -126,6 +126,7 @@ def sample(
     batched_initial: bool = False,
     transforms: Optional[dict] = None,
     config=None,
+    data=None,
     **kernel_kwargs,
 ) -> MCMCResult:
     """Run compiled multi-chain MCMC against a dict-of-params model.
@@ -152,13 +153,14 @@ def sample(
             initial_params,
             batched_initial=batched_initial,
             transforms=transforms,
+            data=data,
             **kw,
         )
     if transforms:
         from mlx_mcmc_tpu.distributions.transforms import make_transformed_logprob
 
         log_prob_fn, to_constrained, to_unconstrained = make_transformed_logprob(
-            log_prob_fn, transforms
+            log_prob_fn, transforms, data_aware=data is not None
         )
         if batched_initial:
             initial_params = jax.vmap(to_unconstrained)(
@@ -178,7 +180,9 @@ def sample(
         example = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x, jnp.result_type(float))[0], initial_params
         )
-        flat_log_prob, z0, unravel = make_flat_logprob(log_prob_fn, example)
+        flat_log_prob, z0, unravel = make_flat_logprob(
+            log_prob_fn, example, data_aware=data is not None
+        )
         from mlx_mcmc_tpu.ops.ravel import ravel_params
 
         z0_batched = jax.vmap(lambda tree: ravel_params(tree)[0])(
@@ -187,7 +191,9 @@ def sample(
             )
         )
     else:
-        flat_log_prob, z0, unravel = make_flat_logprob(log_prob_fn, initial_params)
+        flat_log_prob, z0, unravel = make_flat_logprob(
+            log_prob_fn, initial_params, data_aware=data is not None
+        )
         z0_batched = None
     dim = z0.shape[0]
 
@@ -216,7 +222,7 @@ def sample(
     else:
         z0_batch = prepare_initial_positions(z0, num_chains, key_init, jitter)
     chain_keys = make_chain_keys(key_run, num_chains)
-    result: ChainResult = jax.jit(run)(chain_keys, z0_batch)
+    result: ChainResult = jax.jit(run)(chain_keys, z0_batch, data)
 
     samples = jax.vmap(jax.vmap(unravel))(result.positions)
     if to_constrained is not None:

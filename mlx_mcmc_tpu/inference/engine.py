@@ -116,7 +116,6 @@ def build_sampler(
     """
     if target_accept is None:
         target_accept = default_target_accept(kernel)
-    init_fn, step_fn = make_kernel(kernel, flat_log_prob, **kernel_kwargs)
 
     schedule = build_schedule(num_warmup, adapt_mass_matrix=adapt_mass_matrix)
     in_slow = jnp.asarray(schedule.in_slow_window)
@@ -144,12 +143,31 @@ def build_sampler(
             eps = jnp.asarray(step_size, jnp.float32)
         return Tunables(step_size=eps, inv_mass_diag=adapt.inv_mass_diag)
 
-    def run(chain_keys: jnp.ndarray, z0_batch: jnp.ndarray) -> ChainResult:
+    def run(
+        chain_keys: jnp.ndarray, z0_batch: jnp.ndarray, data=None
+    ) -> ChainResult:
         """``chain_keys``: (chains_local,) PRNG keys, one per chain. Per-step
         keys are ``fold_in(chain_key, t)`` with a global step counter, so the
         random stream of a chain is identical no matter how chains are laid
         out across vmap batches or mesh shards (enables bit-identical
-        1-device vs N-device results)."""
+        1-device vs N-device results).
+
+        ``data``: optional pytree forwarded to a binary model
+        ``flat_log_prob(z, data)`` (and ``value_and_grad_fn(z, data)``).
+        Passing data as a runtime argument rather than a closure constant
+        keeps multi-hundred-MB datasets out of the compiled program body
+        (serialized-HLO bloat) and lets them carry shardings/donation.
+        """
+        if data is None:
+            init_fn, step_fn = make_kernel(kernel, flat_log_prob, **kernel_kwargs)
+        else:
+            bound_kwargs = dict(kernel_kwargs)
+            vag = bound_kwargs.pop("value_and_grad_fn", None)
+            if vag is not None:
+                bound_kwargs["value_and_grad_fn"] = lambda z: vag(z, data)
+            init_fn, step_fn = make_kernel(
+                kernel, lambda z: flat_log_prob(z, data), **bound_kwargs
+            )
         states = jax.vmap(init_fn)(z0_batch)
         adapt = adaptation_init(dim, step_size, init_inv_mass_diag)
 

@@ -11,6 +11,11 @@ VMEM.
 from mlx_mcmc_tpu.ops.pallas.glm import (
     fused_logistic_value_and_grad,
     make_fused_logistic_vag,
+    prepare_fused_logistic_data,
 )
 
-__all__ = ["fused_logistic_value_and_grad", "make_fused_logistic_vag"]
+__all__ = [
+    "fused_logistic_value_and_grad",
+    "make_fused_logistic_vag",
+    "prepare_fused_logistic_data",
+]

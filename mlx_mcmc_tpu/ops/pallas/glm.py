@@ -163,16 +163,44 @@ def _reference_value_and_grad(X, y, Z):
     return jax.vmap(jax.value_and_grad(one))(Z)
 
 
+def prepare_fused_logistic_data(
+    X, y, tile_n: int = _DEFAULT_TILE_N
+) -> dict:
+    """One-time packing of a logistic-GLM dataset for the fused kernel.
+
+    Returns a pytree suitable for ``sample(..., data=...)`` — passing the
+    (possibly multi-GB) design matrix as a runtime argument keeps it out of
+    the serialized program (closure constants bloat compile payloads and
+    cannot be donated/sharded).
+    """
+    Xp, yp = _pad_data(jnp.asarray(X), jnp.asarray(y), tile_n)
+    n, d = X.shape
+    return {
+        "Xp": Xp,
+        "yp": yp,
+        "pad_const": jnp.asarray((Xp.shape[0] - n) * np.log(2.0), jnp.float32),
+        "dim": jnp.zeros((d,), jnp.float32),  # shape-only marker for d
+    }
+
+
 def make_fused_logistic_vag(
-    X: jnp.ndarray,
-    y: jnp.ndarray,
+    X: jnp.ndarray = None,
+    y: jnp.ndarray = None,
     prior_scale: float = 1.0,
     tile_n: int = _DEFAULT_TILE_N,
     use_pallas: bool | None = None,
-) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
+    data_aware: bool = False,
+) -> Callable:
     """Build ``value_and_grad`` of the full logistic log-posterior
     (likelihood + N(0, prior_scale) prior), with a custom_vmap rule that
     routes the engine's chain-vmap into the batched fused kernel.
+
+    Two modes:
+    - closure mode (default): pass ``X``/``y`` here; returns ``vag(z)``.
+      Fine for small data; large arrays become compile-time constants.
+    - ``data_aware=True``: returns ``vag(z, data)`` with ``data`` from
+      :func:`prepare_fused_logistic_data`, for use with
+      ``sample(..., data=...)`` — the production path for big datasets.
 
     ``use_pallas=None`` auto-selects: the compiled kernel on TPU, the jnp
     reference path elsewhere (CPU Pallas only supports interpret mode).
@@ -182,20 +210,12 @@ def make_fused_logistic_vag(
     if use_pallas is None:
         use_pallas = jax.default_backend() in ("tpu", "axon")
     inv_var = 1.0 / (prior_scale * prior_scale)
-    n, d = X.shape
-    log_norm = -0.5 * d * math.log(2.0 * math.pi * prior_scale * prior_scale)
 
-    # Pad the heavy operands ONCE at build time; per-call work is only the
-    # (small) chain-batch transpose/pad.
-    Xp, yp = _pad_data(X, y, tile_n) if use_pallas else (None, None)
-    pad_const = (
-        (Xp.shape[0] - n) * np.float32(np.log(2.0)) if use_pallas else 0.0
-    )
-
-    def _prior(z):
+    def _prior(z, d):
+        log_norm = -0.5 * d * math.log(2.0 * math.pi * prior_scale * prior_scale)
         return log_norm - 0.5 * inv_var * jnp.sum(z * z, axis=-1)
 
-    def _batched(Z):
+    def _batched_from(Xp, yp, pad_const, d, Z):
         if use_pallas:
             c = Z.shape[0]
             c_pad = _round_up(c, _LANE)
@@ -207,8 +227,44 @@ def make_fused_logistic_vag(
             ll = ll_pad[0, :c] + pad_const
             g = g_pad[:d, :c].T
         else:
-            ll, g = _reference_value_and_grad(X, y, Z)
-        return ll + _prior(Z), g - inv_var * Z
+            # Padded rows are zero: they add a constant -log2 each, cancelled
+            # by pad_const; their gradient contribution is exactly zero.
+            ll, g = _reference_value_and_grad(Xp[:, :d], yp[:, 0], Z)
+            ll = ll + pad_const
+        return ll + _prior(Z, d), g - inv_var * Z
+
+    if data_aware:
+
+        @jax.custom_batching.custom_vmap
+        def vag(z, data):
+            d = data["dim"].shape[0]
+            ll, g = _batched_from(
+                data["Xp"], data["yp"], data["pad_const"], d, z[None]
+            )
+            return ll[0], g[0]
+
+        @vag.def_vmap
+        def _vag_vmap(axis_size, in_batched, Z, data):
+            del axis_size, in_batched
+            d = data["dim"].shape[0]
+            ll, g = _batched_from(data["Xp"], data["yp"], data["pad_const"], d, Z)
+            return (ll, g), (True, True)
+
+        return vag
+
+    # closure mode
+    n, d = X.shape
+    if use_pallas:
+        Xp, yp = _pad_data(X, y, tile_n)
+        pad_const = jnp.asarray((Xp.shape[0] - n) * np.log(2.0), jnp.float32)
+    else:
+        Xp, yp, pad_const = X, y, None
+
+    def _batched(Z):
+        if use_pallas:
+            return _batched_from(Xp, yp, pad_const, d, Z)
+        ll, g = _reference_value_and_grad(X, y, Z)
+        return ll + _prior(Z, d), g - inv_var * Z
 
     @jax.custom_batching.custom_vmap
     def vag(z):

@@ -41,22 +41,37 @@ def ravel_params(params: Any) -> Tuple[jnp.ndarray, Callable[[jnp.ndarray], Any]
 
 
 def make_flat_logprob(
-    log_prob_fn: Callable[[Any], jnp.ndarray],
+    log_prob_fn: Callable[..., jnp.ndarray],
     example_params: Any,
-) -> Tuple[Callable[[jnp.ndarray], jnp.ndarray], jnp.ndarray, Callable[[jnp.ndarray], Any]]:
+    data_aware: bool = False,
+) -> Tuple[Callable[..., jnp.ndarray], jnp.ndarray, Callable[[jnp.ndarray], Any]]:
     """Wrap a dict-of-params log-prob into a flat-vector log-prob.
 
     Returns ``(flat_log_prob, initial_flat, unravel)``. ``flat_log_prob`` maps a
     flat position vector to a scalar log-density and is safe to ``jit``/``grad``/
     ``vmap`` (provided the user model is traceable).
+
+    With ``data_aware=True`` the model is ``log_prob_fn(params, data)`` and the
+    returned wrapper is ``flat_log_prob(z, data)`` — data flows as a runtime
+    argument instead of a closure constant.
     """
     initial_flat, unravel = ravel_params(example_params)
 
-    def flat_log_prob(z: jnp.ndarray) -> jnp.ndarray:
-        out = jnp.asarray(log_prob_fn(unravel(z))).reshape(())
+    def _sanitize(out):
         # NaN log-densities (e.g. a user model evaluating Normal with a
         # negative scale) are sanitized to -inf so accept/reject logic can
         # never get stuck on a NaN state.
+        out = jnp.asarray(out).reshape(())
         return jnp.where(jnp.isnan(out), -jnp.inf, out)
+
+    if data_aware:
+
+        def flat_log_prob(z: jnp.ndarray, data) -> jnp.ndarray:
+            return _sanitize(log_prob_fn(unravel(z), data))
+
+    else:
+
+        def flat_log_prob(z: jnp.ndarray) -> jnp.ndarray:
+            return _sanitize(log_prob_fn(unravel(z)))
 
     return flat_log_prob, initial_flat, unravel

@@ -1,6 +1,7 @@
 """R-hat / ESS diagnostics tests against analytically known cases."""
 
 import numpy as np
+import pytest
 
 from mlx_mcmc_tpu.diagnostics import (
     effective_sample_size,
@@ -88,3 +89,51 @@ class TestSummary:
         x = rng.normal(size=(2, 500))
         s = summary_stats(x, credible_interval=0.9)
         assert "5.0%" in s and "95.0%" in s
+
+
+class TestNativeEngine:
+    """Native _fastdiag vs numpy reference (skipped if extension unbuilt)."""
+
+    @pytest.fixture(autouse=True)
+    def _need_native(self):
+        from mlx_mcmc_tpu.diagnostics import stats
+
+        if stats._fastdiag is None:
+            pytest.skip("_fastdiag extension not built")
+
+    def test_ess_matches_numpy(self):
+        rng = np.random.default_rng(0)
+        x = _ar1(0.8, (4, 3000), rng)[..., None] * np.array([1.0, 2.0, 0.5])
+        a = effective_sample_size(x, use_native=True)
+        b = effective_sample_size(x, use_native=False)
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+    def test_rhat_matches_numpy(self):
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(4, 1000, 5)) + np.arange(5) * 0.1
+        a = potential_scale_reduction(x, use_native=True)
+        b = potential_scale_reduction(x, use_native=False)
+        np.testing.assert_allclose(a, b, rtol=1e-8)
+
+    def test_iid_scalar_param(self):
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(2, 5000))
+        a = effective_sample_size(x, use_native=True)
+        assert 0.75 * 10000 < float(a) < 1.3 * 10000
+
+    def test_large_batch_faster_than_numpy(self):
+        import time
+
+        rng = np.random.default_rng(3)
+        x = _ar1(0.5, (8, 2000), rng)[..., None] + rng.normal(
+            size=(8, 2000, 200)
+        ) * 0.01
+        t0 = time.time()
+        a = effective_sample_size(x, use_native=True)
+        t_native = time.time() - t0
+        t0 = time.time()
+        b = effective_sample_size(x, use_native=False)
+        t_numpy = time.time() - t0
+        np.testing.assert_allclose(a, b, rtol=1e-5)
+        # informational speed check; assert only that native is not absurd
+        assert t_native < max(4 * t_numpy, 5.0)

@@ -105,3 +105,47 @@ class TestVagWrapper:
         b = np.asarray(res_plain.samples["beta"]).reshape(-1, X.shape[1])
         # identical up to float reassociation inside the fused contraction
         np.testing.assert_allclose(a.mean(axis=0), b.mean(axis=0), atol=0.08)
+
+
+class TestDataAwarePath:
+    def test_data_arg_matches_closure(self, problem):
+        X, y, Z = problem
+        from mlx_mcmc_tpu.ops.pallas.glm import prepare_fused_logistic_data
+
+        vag_c = make_fused_logistic_vag(X, y, prior_scale=1.5, use_pallas=False)
+        vag_d = make_fused_logistic_vag(
+            prior_scale=1.5, use_pallas=False, data_aware=True
+        )
+        data = prepare_fused_logistic_data(X, y, tile_n=128)
+        ll_c, g_c = vag_c(Z[0])
+        ll_d, g_d = vag_d(Z[0], data)
+        np.testing.assert_allclose(float(ll_c), float(ll_d), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_d), rtol=1e-4)
+        # batched rule
+        ll_b, g_b = jax.vmap(lambda z: vag_d(z, data))(Z)
+        np.testing.assert_allclose(float(ll_b[0]), float(ll_d), rtol=1e-5)
+
+    def test_sample_with_data_argument(self, problem):
+        X, y, Z = problem
+        from mlx_mcmc_tpu import sample
+        from mlx_mcmc_tpu.distributions import Normal
+
+        def log_prob(params, data):
+            s = data["X"] @ params["beta"]
+            return jnp.sum(data["y"] * s - jax.nn.softplus(s)) + jnp.sum(
+                Normal(0.0, 1.0).log_prob(params["beta"])
+            )
+
+        res = sample(
+            log_prob,
+            {"beta": jnp.zeros(X.shape[1])},
+            data={"X": X, "y": y},
+            num_samples=200,
+            num_warmup=200,
+            num_chains=2,
+            kernel="nuts",
+            seed=0,
+        )
+        draws = np.asarray(res.samples["beta"])
+        assert draws.shape == (2, 200, X.shape[1])
+        assert np.isfinite(draws).all()
