@@ -11,9 +11,12 @@ from mlx_mcmc_tpu.diagnostics.stats import (
     potential_scale_reduction,
     summary_stats,
 )
+from mlx_mcmc_tpu.diagnostics.device import device_ess, device_rhat
 
 __all__ = [
     "effective_sample_size",
     "potential_scale_reduction",
     "summary_stats",
+    "device_ess",
+    "device_rhat",
 ]

@@ -51,6 +51,7 @@ class MCMCResult:
     num_chains: int
     num_samples: int
     kernel: str = "nuts"
+    device_stats: Optional[Dict[str, jnp.ndarray]] = None  # on-device rhat/ess
     _numpy_cache: Optional[Dict[str, np.ndarray]] = field(default=None, repr=False)
 
     def to_numpy(self) -> Dict[str, np.ndarray]:

@@ -27,6 +27,13 @@ from mlx_mcmc_tpu.kernels.adaptation import (
     adaptation_init,
     adaptation_update,
     build_schedule,
+    find_reasonable_step_size,
+)
+from mlx_mcmc_tpu.kernels.integrators import (
+    IntegratorState,
+    make_leapfrog,
+    sample_momentum,
+    total_energy,
 )
 from mlx_mcmc_tpu.kernels.base import TransitionInfo, Tunables
 from mlx_mcmc_tpu.kernels.hmc import make_hmc_kernel
@@ -99,7 +106,7 @@ def build_sampler(
     kernel: str = "nuts",
     num_warmup: int = 1000,
     num_samples: int = 1000,
-    step_size: float = 0.1,
+    step_size=0.1,
     adapt_step_size: bool = True,
     adapt_mass_matrix: bool = True,
     target_accept: Optional[float] = None,
@@ -116,6 +123,14 @@ def build_sampler(
     """
     if target_accept is None:
         target_accept = default_target_accept(kernel)
+    auto_step_size = isinstance(step_size, str)
+    if auto_step_size and (
+        step_size != "auto" or kernel == "metropolis" or not adapt_step_size
+    ):
+        raise ValueError(
+            "step_size='auto' requires a gradient kernel (hmc/nuts) with "
+            "adapt_step_size=True"
+        )
 
     schedule = build_schedule(num_warmup, adapt_mass_matrix=adapt_mass_matrix)
     in_slow = jnp.asarray(schedule.in_slow_window)
@@ -159,17 +174,50 @@ def build_sampler(
         (serialized-HLO bloat) and lets them carry shardings/donation.
         """
         if data is None:
-            init_fn, step_fn = make_kernel(kernel, flat_log_prob, **kernel_kwargs)
+            flp_bound, bound_kwargs = flat_log_prob, dict(kernel_kwargs)
         else:
             bound_kwargs = dict(kernel_kwargs)
             vag = bound_kwargs.pop("value_and_grad_fn", None)
             if vag is not None:
                 bound_kwargs["value_and_grad_fn"] = lambda z: vag(z, data)
-            init_fn, step_fn = make_kernel(
-                kernel, lambda z: flat_log_prob(z, data), **bound_kwargs
-            )
+            flp_bound = lambda z: flat_log_prob(z, data)  # noqa: E731
+        init_fn, step_fn = make_kernel(kernel, flp_bound, **bound_kwargs)
         states = jax.vmap(init_fn)(z0_batch)
-        adapt = adaptation_init(dim, step_size, init_inv_mass_diag)
+
+        if auto_step_size:
+            # Stan-style initialization: probe one leapfrog step across all
+            # chains, doubling/halving eps until mean accept crosses 0.5.
+            inv_mass0 = (
+                jnp.ones((dim,), jnp.float32)
+                if init_inv_mass_diag is None
+                else jnp.asarray(init_inv_mass_diag, jnp.float32)
+            )
+            leapfrog = make_leapfrog(
+                flp_bound, bound_kwargs.get("value_and_grad_fn")
+            )
+            probe_keys = jax.vmap(
+                lambda ck: jax.random.fold_in(ck, 0x7FFFFFFF)
+            )(chain_keys)
+
+            def accept_prob_fn(eps):
+                def per_chain(key, state):
+                    r = sample_momentum(key, inv_mass0)
+                    integ = IntegratorState(
+                        state.position, r, state.log_prob, state.grad
+                    )
+                    e0 = total_energy(integ, inv_mass0)
+                    e1 = total_energy(
+                        leapfrog(integ, eps, inv_mass0), inv_mass0
+                    )
+                    delta = jnp.where(jnp.isnan(e0 - e1), -jnp.inf, e0 - e1)
+                    return jnp.exp(jnp.minimum(delta, 0.0))
+
+                return _reduce_mean(jax.vmap(per_chain)(probe_keys, states))
+
+            eps_init = find_reasonable_step_size(accept_prob_fn)
+        else:
+            eps_init = step_size
+        adapt = adaptation_init(dim, eps_init, init_inv_mass_diag)
 
         warmup_collect = None
         if num_warmup > 0:

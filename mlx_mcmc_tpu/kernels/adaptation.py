@@ -191,3 +191,39 @@ def adaptation_update(
         welford,
     )
     return AdaptationState(da=da, welford=welford, inv_mass_diag=inv_mass)
+
+
+def find_reasonable_step_size(
+    accept_prob_fn,
+    init_step_size: float = 1.0,
+    target: float = 0.5,
+    max_doublings: int = 40,
+) -> jnp.ndarray:
+    """Stan's step-size initialization: double (or halve) epsilon until the
+    one-leapfrog acceptance probability crosses ``target``.
+
+    ``accept_prob_fn(eps) -> mean accept prob`` must be a traced function
+    (one probe leapfrog across all chains, pmean'd if sharded). Runs as a
+    ``lax.while_loop`` inside the compiled program — the reference has no
+    equivalent (its warmup starts blind at whatever step_size was passed).
+    """
+    eps0 = jnp.asarray(init_step_size, jnp.float32)
+    going_up = accept_prob_fn(eps0) > target
+
+    def cond(carry):
+        eps, done, it = carry
+        return ~done & (it < max_doublings) & jnp.isfinite(eps) & (eps > 1e-10) & (
+            eps < 1e7
+        )
+
+    def body(carry):
+        eps, _, it = carry
+        new_eps = eps * jnp.where(going_up, 2.0, 0.5)
+        a = accept_prob_fn(new_eps)
+        crossed = jnp.where(going_up, a <= target, a >= target)
+        return new_eps, crossed, it + 1
+
+    eps, _, _ = jax.lax.while_loop(
+        cond, body, (eps0, jnp.asarray(False), jnp.asarray(0, jnp.int32))
+    )
+    return eps

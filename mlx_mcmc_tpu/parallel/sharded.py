@@ -49,6 +49,8 @@ def sample_sharded(
     adapt_mass_matrix: bool = True,
     target_accept: Optional[float] = None,
     jitter: float = 0.0,
+    device_diagnostics: bool = False,
+    data=None,
     **kernel_kwargs,
 ) -> MCMCResult:
     """Run chains sharded over ``mesh[axis]`` with collective adaptation.
@@ -56,6 +58,15 @@ def sample_sharded(
     ``num_chains`` must be divisible by the mesh axis size. Returns the same
     :class:`MCMCResult` as :func:`mlx_mcmc_tpu.sample`, with sample arrays
     sharded over chains (gather happens lazily on numpy conversion).
+
+    With ``device_diagnostics=True``, split R-hat and ESS per flat dimension
+    are computed *inside* the sharded program with psum/pmean collectives and
+    attached as ``result.device_stats`` — only (D,) statistics cross the
+    host boundary, never the draw tensor.
+
+    ``data`` follows the ``sample(..., data=...)`` protocol: a pytree passed
+    at run time to a binary model ``log_prob_fn(params, data)``; it is
+    replicated across the chain axis.
     """
     if mesh is None:
         mesh = chain_mesh()
@@ -66,7 +77,9 @@ def sample_sharded(
             f"'{axis}' of size {axis_size}"
         )
 
-    flat_log_prob, z0, unravel = make_flat_logprob(log_prob_fn, initial_params)
+    flat_log_prob, z0, unravel = make_flat_logprob(
+        log_prob_fn, initial_params, data_aware=data is not None
+    )
     dim = z0.shape[0]
 
     run = build_sampler(
@@ -88,34 +101,49 @@ def sample_sharded(
     z0_batch = prepare_initial_positions(z0, num_chains, key_init, jitter)
     chain_keys = make_chain_keys(key_run, num_chains)
 
-    def shard_run(chain_keys_shard, z0_shard):
-        result = run(chain_keys_shard, z0_shard)
-        # Tunables are identical on every shard after collective adaptation;
-        # emit one leading shard axis so out_specs can declare them sharded,
-        # then take shard 0 outside.
+    def shard_run(chain_keys_shard, z0_shard, data_shard):
+        result = run(chain_keys_shard, z0_shard, data_shard)
+        # Tunables (and device diagnostics) are identical on every shard
+        # after the collectives; emit one leading shard axis so out_specs can
+        # declare them sharded, then take shard 0 outside.
         tiled_tunables = jax.tree_util.tree_map(
             lambda x: x[None], result.final_tunables
         )
-        return result.positions, result.info, tiled_tunables, result.final_state
+        if device_diagnostics:
+            from mlx_mcmc_tpu.diagnostics.device import device_ess, device_rhat
+
+            stats = {
+                "r_hat": device_rhat(result.positions, axis_name=axis)[None],
+                "n_eff": device_ess(result.positions, axis_name=axis)[None],
+            }
+        else:
+            stats = {}
+        return (
+            result.positions,
+            result.info,
+            tiled_tunables,
+            result.final_state,
+            stats,
+        )
 
     sharded = shard_map(
         shard_run,
         mesh=mesh,
-        in_specs=(P(axis), P(axis)),
-        out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
         # Kernel while-loop carries mix shard-invariant literals with
         # shard-varying state; skip the varying-axes check rather than
         # pcast-annotating every carry.
         check_vma=False,
     )
 
-    positions, info, tiled_tunables, final_state = jax.jit(sharded)(
-        chain_keys, z0_batch
+    positions, info, tiled_tunables, final_state, stats = jax.jit(sharded)(
+        chain_keys, z0_batch, data
     )
     tunables = jax.tree_util.tree_map(lambda x: x[0], tiled_tunables)
 
     samples = jax.vmap(jax.vmap(unravel))(positions)
-    return MCMCResult(
+    result = MCMCResult(
         samples=samples,
         info=info,
         tunables=tunables,
@@ -123,3 +151,6 @@ def sample_sharded(
         num_samples=num_samples,
         kernel=kernel,
     )
+    if device_diagnostics:
+        result.device_stats = jax.tree_util.tree_map(lambda x: x[0], stats)
+    return result

@@ -89,3 +89,42 @@ class TestMassMatrixAdaptation:
         np.testing.assert_allclose(
             xs.std(axis=0), np.asarray(scales), rtol=0.2
         )
+
+
+class TestAutoStepSize:
+    def test_auto_init_converges(self):
+        # Badly scaled target: auto init + adaptation must land a good step.
+        scales = jnp.asarray([0.01, 0.01, 0.01])
+
+        def log_prob(params):
+            return jnp.sum(Normal(0.0, scales).log_prob(params["x"]))
+
+        res = sample(
+            log_prob,
+            {"x": jnp.zeros(3)},
+            num_samples=500,
+            num_warmup=500,
+            num_chains=2,
+            kernel="nuts",
+            seed=0,
+            step_size="auto",
+            adapt_mass_matrix=False,  # isolate the step-size path
+        )
+        accept = float(np.asarray(res.info.accept_prob).mean())
+        assert 0.5 < accept < 0.95
+        # with identity mass the step must have found the 0.01 scale,
+        # far below the nominal 1.0 probe start
+        assert float(res.tunables.step_size) < 0.1
+
+    def test_auto_rejected_for_metropolis(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="auto"):
+            sample(
+                lambda p: Normal(0.0, 1.0).log_prob(p["x"]),
+                {"x": 0.0},
+                num_samples=10,
+                num_warmup=10,
+                kernel="metropolis",
+                step_size="auto",
+            )

@@ -137,3 +137,75 @@ class TestNativeEngine:
         np.testing.assert_allclose(a, b, rtol=1e-5)
         # informational speed check; assert only that native is not absurd
         assert t_native < max(4 * t_numpy, 5.0)
+
+
+class TestDeviceDiagnostics:
+    """Traced jnp rhat/ess must match the numpy reference, locally and when
+    pooled with collectives across a sharded chain axis."""
+
+    def test_matches_numpy_local(self):
+        import jax.numpy as jnp
+        from mlx_mcmc_tpu.diagnostics import device_ess, device_rhat
+
+        rng = np.random.default_rng(0)
+        x = _ar1(0.7, (4, 1000), rng)[..., None] * np.array([1.0, 2.0])
+        a_r = np.asarray(device_rhat(jnp.asarray(x)))
+        b_r = potential_scale_reduction(x, use_native=False)
+        np.testing.assert_allclose(a_r, b_r, rtol=1e-4)
+        a_e = np.asarray(device_ess(jnp.asarray(x)))
+        b_e = effective_sample_size(x, use_native=False)
+        np.testing.assert_allclose(a_e, b_e, rtol=1e-3)
+
+    def test_sharded_matches_gathered(self):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+        from mlx_mcmc_tpu.diagnostics import device_ess, device_rhat
+        from mlx_mcmc_tpu.parallel import chain_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        rng = np.random.default_rng(1)
+        x = np.asarray(_ar1(0.5, (8, 500), rng)[..., None], np.float32)
+
+        mesh = chain_mesh()
+        f = jax.shard_map(
+            lambda xs: (
+                device_rhat(xs, axis_name="chains")[None],
+                device_ess(xs, axis_name="chains")[None],
+            ),
+            mesh=mesh,
+            in_specs=P("chains"),
+            out_specs=(P("chains"), P("chains")),
+        )
+        r_sh, e_sh = jax.jit(f)(jnp.asarray(x))
+        r_ref = potential_scale_reduction(x.astype(np.float64), use_native=False)
+        e_ref = effective_sample_size(x.astype(np.float64), use_native=False)
+        np.testing.assert_allclose(np.asarray(r_sh)[0], r_ref, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(e_sh)[0], e_ref, rtol=5e-3)
+
+    def test_sample_sharded_device_diagnostics(self):
+        import jax
+        import jax.numpy as jnp
+        from mlx_mcmc_tpu import Normal
+        from mlx_mcmc_tpu.parallel import sample_sharded
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+
+        res = sample_sharded(
+            lambda p: jnp.sum(Normal(0.0, 1.0).log_prob(p["x"])),
+            {"x": jnp.zeros(3)},
+            num_samples=500,
+            num_warmup=300,
+            num_chains=8,
+            kernel="nuts",
+            seed=0,
+            device_diagnostics=True,
+        )
+        assert set(res.device_stats) == {"r_hat", "n_eff"}
+        rhat = np.asarray(res.device_stats["r_hat"])
+        ess = np.asarray(res.device_stats["n_eff"])
+        assert rhat.shape == (3,) and ess.shape == (3,)
+        assert np.all(rhat < 1.05)
+        assert np.all(ess > 200)
