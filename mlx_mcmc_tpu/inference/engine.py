@@ -113,6 +113,8 @@ def build_sampler(
     axis_name: Optional[str] = None,
     collect_warmup: bool = False,
     init_inv_mass_diag=None,
+    progress_every: Optional[int] = None,
+    progress_callback=None,
     **kernel_kwargs,
 ) -> Callable[[jnp.ndarray, jnp.ndarray], ChainResult]:
     """Build a jittable ``run(key, z0_batch) -> ChainResult``.
@@ -143,6 +145,33 @@ def build_sampler(
         if axis_name:
             m = jax.lax.pmean(m, axis_name)
         return m
+
+    if progress_every:
+        if progress_callback is None:
+
+            def progress_callback(phase, t, accept, eps):  # pragma: no cover
+                print(
+                    f"  [{phase}] step {int(t):6d}  mean accept {float(accept):.3f}"
+                    f"  step size {float(eps):.4f}",
+                    flush=True,
+                )
+
+        def _maybe_report(phase, t, infos, eps):
+            # Host callback fired every `progress_every` steps only — the hot
+            # loop stays host-free otherwise (opt-in observability; the
+            # reference prints unconditionally from inside its loops).
+            jax.lax.cond(
+                (t + 1) % progress_every == 0,
+                lambda: jax.debug.callback(
+                    progress_callback, phase, t, jnp.mean(infos.accept_prob), eps
+                ),
+                lambda: None,
+            )
+
+    else:
+
+        def _maybe_report(phase, t, infos, eps):
+            return None
 
     def _current_tunables(adapt: AdaptationState) -> Tunables:
         if adapt_step_size:
@@ -239,6 +268,7 @@ def build_sampler(
                     target_accept,
                     welford_reduce=welford_reduce,
                 )
+                _maybe_report("warmup", t, infos, tunables.step_size)
                 out = (states.position, infos) if collect_warmup else None
                 return (states, adapt), out
 
@@ -254,6 +284,7 @@ def build_sampler(
             states, infos = jax.vmap(step_fn, in_axes=(0, 0, None))(
                 keys, states, tunables
             )
+            _maybe_report("sample", t, infos, tunables.step_size)
             return states, (states.position, infos)
 
         sample_steps = jnp.arange(

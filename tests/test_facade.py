@@ -111,3 +111,30 @@ class TestFacade:
         stats = mcmc.stats
         assert np.asarray(stats.tree_depth).shape == (2, 100)
         assert np.asarray(stats.accept_prob).min() >= 0.0
+
+
+class TestProgress:
+    def test_progress_callback_fires(self, data):
+        import jax
+        from mlx_mcmc_tpu import sample as _sample
+
+        events = []
+
+        def cb(phase, t, accept, eps):
+            events.append((str(phase), int(t), float(accept)))
+
+        _sample(
+            _model(data),
+            {"mu": 0.0, "sigma": 1.0},
+            num_samples=50,
+            num_warmup=50,
+            num_chains=2,
+            kernel="nuts",
+            seed=0,
+            progress_every=10,
+            progress_callback=cb,
+        )
+        jax.effects_barrier()
+        phases = {e[0] for e in events}
+        assert "warmup" in phases and "sample" in phases
+        assert len(events) == 10  # 5 per phase
