@@ -34,14 +34,27 @@ CONFIGS = {
     "glm100": dict(
         num_features=100, num_obs=10_000, num_chains=64,
         num_warmup=500, num_samples=500, max_tree_depth=8,
-        baseline_ess_per_sec=0.44,
+        baseline_ess_per_sec=0.44, fused=False,
         label="min-ESS/sec/chip, NUTS 100-param logistic GLM (10K obs, 64 chains)",
     ),
     "glm1000": dict(
         num_features=1000, num_obs=100_000, num_chains=16,
         num_warmup=400, num_samples=400, max_tree_depth=8,
-        baseline_ess_per_sec=0.03,
+        baseline_ess_per_sec=0.03, fused=False,
         label="min-ESS/sec/chip, NUTS 1000-param logistic GLM (100K obs, 16 chains)",
+    ),
+    # bf16 design matrix + fused single-pass Pallas value+grad kernel.
+    # On TPU the MXU already computes f32 matmuls at bf16 operand precision,
+    # so bf16 storage is numerically free; the fused kernel is what turns it
+    # into bandwidth (XLA's autodiff upcasts X in the backward pass).
+    "glm1000_fused": dict(
+        num_features=1000, num_obs=100_000, num_chains=16,
+        num_warmup=400, num_samples=400, max_tree_depth=8,
+        baseline_ess_per_sec=0.03, fused=True,
+        label=(
+            "min-ESS/sec/chip, NUTS 1000-param logistic GLM "
+            "(100K obs, 16 chains, bf16 fused Pallas)"
+        ),
     ),
 }
 
@@ -62,16 +75,43 @@ def main() -> None:
     spec = make_logistic_regression(
         num_features=cfg["num_features"], num_obs=cfg["num_obs"], seed=0
     )
-    data = {"X": spec.X, "y": spec.y}
 
-    def log_prob(params, data):
-        beta = params["beta"]
-        s = jnp.dot(data["X"], beta, preferred_element_type=jnp.float32)
-        from mlx_mcmc_tpu.distributions import Normal
+    from mlx_mcmc_tpu.distributions import Normal
 
-        return jnp.sum(data["y"] * s - jax.nn.softplus(s)) + jnp.sum(
-            Normal(0.0, 1.0).log_prob(beta)
+    extra = {}
+    if cfg["fused"]:
+        from mlx_mcmc_tpu.ops.pallas.glm import (
+            make_fused_logistic_vag,
+            prepare_fused_logistic_data,
         )
+
+        data = prepare_fused_logistic_data(
+            spec.X.astype(jnp.bfloat16), spec.y
+        )
+        extra["value_and_grad_fn"] = make_fused_logistic_vag(
+            prior_scale=1.0, data_aware=True
+        )
+
+        def log_prob(params, data):
+            # value path (init/energy): same density the fused vag computes
+            beta = params["beta"]
+            d = data["dim"].shape[0]
+            s = jnp.dot(
+                data["Xp"][:, :d], beta.astype(data["Xp"].dtype),
+                preferred_element_type=jnp.float32,
+            )
+            ll = jnp.sum(data["yp"][:, 0] * s - jax.nn.softplus(s))
+            return ll + data["pad_const"] + jnp.sum(Normal(0.0, 1.0).log_prob(beta))
+
+    else:
+        data = {"X": spec.X, "y": spec.y}
+
+        def log_prob(params, data):
+            beta = params["beta"]
+            s = jnp.dot(data["X"], beta, preferred_element_type=jnp.float32)
+            return jnp.sum(data["y"] * s - jax.nn.softplus(s)) + jnp.sum(
+                Normal(0.0, 1.0).log_prob(beta)
+            )
 
     def run(seed):
         return sample(
@@ -85,6 +125,7 @@ def main() -> None:
             seed=seed,
             max_tree_depth=cfg["max_tree_depth"],
             target_accept=0.8,
+            **extra,
         )
 
     # Warm the compile cache, then time a fresh run end-to-end (warmup +

