@@ -32,10 +32,10 @@ import numpy as np
 
 CONFIGS = {
     "glm100": dict(
-        num_features=100, num_obs=10_000, num_chains=64,
+        num_features=100, num_obs=10_000, num_chains=128,
         num_warmup=500, num_samples=500, max_tree_depth=8,
         baseline_ess_per_sec=0.44, fused=False,
-        label="min-ESS/sec/chip, NUTS 100-param logistic GLM (10K obs, 64 chains)",
+        label="min-ESS/sec/chip, NUTS 100-param logistic GLM (10K obs, 128 chains)",
     ),
     "glm1000": dict(
         num_features=1000, num_obs=100_000, num_chains=16,
@@ -48,12 +48,12 @@ CONFIGS = {
     # so bf16 storage is numerically free; the fused kernel is what turns it
     # into bandwidth (XLA's autodiff upcasts X in the backward pass).
     "glm1000_fused": dict(
-        num_features=1000, num_obs=100_000, num_chains=16,
+        num_features=1000, num_obs=100_000, num_chains=128,
         num_warmup=400, num_samples=400, max_tree_depth=8,
         baseline_ess_per_sec=0.03, fused=True,
         label=(
             "min-ESS/sec/chip, NUTS 1000-param logistic GLM "
-            "(100K obs, 16 chains, bf16 fused Pallas)"
+            "(100K obs, 128 chains, bf16 fused Pallas)"
         ),
     ),
 }

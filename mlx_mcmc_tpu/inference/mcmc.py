@@ -53,6 +53,7 @@ class MCMC:
         verbose: bool = True,
         num_chains: int = 1,
         jitter: float = 0.0,
+        chain_method: str = "vmap",
         **kwargs,
     ) -> Dict[str, np.ndarray]:
         """Run MCMC sampling; returns {name: np.ndarray of draws}.
@@ -61,9 +62,42 @@ class MCMC:
         kernel: ``step_size``, ``num_leapfrog_steps``, ``adapt_step_size``,
         ``target_accept`` (hmc); ``step_size``, ``max_tree_depth``,
         ``adapt_step_size``, ``target_accept`` (nuts).
+
+        ``chain_method``: 'vmap' batches all chains on one device; 'sharded'
+        shards them across the device mesh with collective adaptation
+        (hmc/nuts; requires num_chains divisible by the device count).
         """
         if method not in ("metropolis", "hmc", "nuts"):
             raise ValueError(f"Unknown sampling method: {method}")
+        if chain_method not in ("vmap", "sharded"):
+            raise ValueError(f"Unknown chain_method: {chain_method}")
+        if chain_method == "sharded":
+            if method == "metropolis":
+                raise ValueError(
+                    "chain_method='sharded' supports hmc/nuts (metropolis "
+                    "warmup is facade-managed and single-program)"
+                )
+            from mlx_mcmc_tpu.parallel.sharded import sample_sharded
+
+            result = sample_sharded(
+                self.log_prob_fn,
+                initial_params,
+                num_samples=num_samples,
+                num_warmup=num_warmup,
+                num_chains=num_chains,
+                kernel=method,
+                seed=random_seed,
+                jitter=jitter,
+                **kwargs,
+            )
+            self.result = result
+            self.acceptance_rate = result.acceptance_rate
+            self.samples = result.flat_samples()
+            if verbose:
+                print(f"Sharded sampling complete "
+                      f"({num_chains} chains across mesh); "
+                      f"acceptance rate: {self.acceptance_rate:.2%}")
+            return self.samples
 
         if verbose:
             print("=" * 70)

@@ -38,9 +38,19 @@ def _result_state(result) -> Dict[str, Any]:
     }
 
 
-def save_checkpoint(path: str, result) -> None:
-    """Persist an :class:`MCMCResult` as a resumable checkpoint."""
+def save_checkpoint(path: str, result, backend: str = "auto") -> None:
+    """Persist an :class:`MCMCResult` as a resumable checkpoint.
+
+    ``backend``: 'npz' (single portable file), 'orbax' (directory tree,
+    async-capable, multi-host-aware), or 'auto' — orbax when installed and
+    ``path`` has no .npz suffix, else npz.
+    """
     state = _result_state(result)
+    if backend == "auto":
+        backend = "npz" if path.endswith(".npz") else _orbax_or_npz()
+    if backend == "orbax":
+        _orbax_save(path, state)
+        return
     meta = {
         "kernel": state["kernel"],
         "num_chains": state["num_chains"],
@@ -54,8 +64,54 @@ def save_checkpoint(path: str, result) -> None:
     np.savez(path, **arrays, **{_META_KEY: json.dumps(meta)})
 
 
+def _orbax_or_npz() -> str:
+    try:
+        import orbax.checkpoint  # noqa: F401
+
+        return "orbax"
+    except ImportError:  # pragma: no cover
+        return "npz"
+
+
+def _orbax_save(path: str, state: Dict[str, Any]) -> None:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            os.path.abspath(path),
+            {
+                "positions": state["positions"],
+                "inv_mass_diag": state["inv_mass_diag"],
+                "step_size": np.float32(state["step_size"]),
+                "num_chains": np.int32(state["num_chains"]),
+                "draws_completed": np.int32(state["draws_completed"]),
+                "kernel_id": np.int32(
+                    ["metropolis", "hmc", "nuts"].index(state["kernel"])
+                ),
+            },
+            force=True,
+        )
+
+
+def _orbax_load(path: str) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(os.path.abspath(path))
+    return {
+        "positions": dict(tree["positions"]),
+        "step_size": float(tree["step_size"]),
+        "inv_mass_diag": np.asarray(tree["inv_mass_diag"]),
+        "kernel": ["metropolis", "hmc", "nuts"][int(tree["kernel_id"])],
+        "num_chains": int(tree["num_chains"]),
+        "draws_completed": int(tree["draws_completed"]),
+    }
+
+
 def load_checkpoint(path: str) -> Dict[str, Any]:
-    """Load a checkpoint saved by :func:`save_checkpoint`."""
+    """Load a checkpoint saved by :func:`save_checkpoint` (either backend)."""
+    if os.path.isdir(path):
+        return _orbax_load(path)
     if not path.endswith(".npz") and not os.path.exists(path):
         path = path + ".npz"
     with np.load(path, allow_pickle=False) as data:

@@ -67,9 +67,14 @@ def _fused_kernel(x_ref, y_ref, bt_ref, ll_ref, g_ref):
         ll_ref[:] = jnp.zeros_like(ll_ref)
         g_ref[:] = jnp.zeros_like(g_ref)
 
-    x = x_ref[:]  # (TILE_N, Dp), f32 or bf16
+    x = x_ref[:]  # (TILE_N, Dp): f32, bf16, or int8 (quantized storage)
+    if x.dtype == jnp.int8:
+        # int8 storage quarters HBM traffic vs f32; per-column scales are
+        # folded into the coefficient matrix by the wrapper, so the kernel
+        # only dequantizes the tile to bf16 in-register (VPU cast).
+        x = x.astype(jnp.bfloat16)
     y = y_ref[:]  # (TILE_N, 1) f32
-    bt = bt_ref[:]  # (Dp, Cp), same dtype as x
+    bt = bt_ref[:]  # (Dp, Cp), matches the compute dtype of x
 
     s = jnp.dot(x, bt, preferred_element_type=jnp.float32)  # (TILE_N, Cp) MXU
     r = y - jax.nn.sigmoid(s)  # residual (TILE_N, Cp) f32
@@ -173,7 +178,7 @@ def _reference_value_and_grad(X, y, Z):
 
 
 def prepare_fused_logistic_data(
-    X, y, tile_n: int = _DEFAULT_TILE_N
+    X, y, tile_n: int = _DEFAULT_TILE_N, quantize: str | None = None
 ) -> dict:
     """One-time packing of a logistic-GLM dataset for the fused kernel.
 
@@ -181,15 +186,33 @@ def prepare_fused_logistic_data(
     (possibly multi-GB) design matrix as a runtime argument keeps it out of
     the serialized program (closure constants bloat compile payloads and
     cannot be donated/sharded).
+
+    ``quantize``: None keeps ``X``'s dtype (pass bf16 X for 2x traffic);
+    'int8' stores symmetric per-column int8 with f32 scales (4x traffic vs
+    f32). X ~ Xq * scale[col]; the scales fold into the coefficients, so
+    sampling targets the posterior of the quantized design — a model-level
+    rounding like bf16, one rung coarser.
     """
-    Xp, yp = _pad_data(jnp.asarray(X), jnp.asarray(y), tile_n)
+    X = jnp.asarray(X)
     n, d = X.shape
-    return {
+    col_scale = None
+    if quantize == "int8":
+        Xf = X.astype(jnp.float32)
+        col_max = jnp.maximum(jnp.max(jnp.abs(Xf), axis=0), 1e-30)
+        col_scale = col_max / 127.0
+        X = jnp.clip(jnp.round(Xf / col_scale), -127, 127).astype(jnp.int8)
+    elif quantize is not None:
+        raise ValueError(f"unknown quantize mode: {quantize!r}")
+    Xp, yp = _pad_data(X, jnp.asarray(y), tile_n)
+    data = {
         "Xp": Xp,
         "yp": yp,
         "pad_const": jnp.asarray((Xp.shape[0] - n) * np.log(2.0), jnp.float32),
         "dim": jnp.zeros((d,), jnp.float32),  # shape-only marker for d
     }
+    if col_scale is not None:
+        data["col_scale"] = col_scale
+    return data
 
 
 def make_fused_logistic_vag(
@@ -224,13 +247,18 @@ def make_fused_logistic_vag(
         log_norm = -0.5 * d * math.log(2.0 * math.pi * prior_scale * prior_scale)
         return log_norm - 0.5 * inv_var * jnp.sum(z * z, axis=-1)
 
-    def _batched_from(Xp, yp, pad_const, d, Z):
+    def _batched_from(Xp, yp, pad_const, d, Z, col_scale=None):
+        # int8 storage: X ~ Xq * diag(col_scale), so fold the scales into
+        # the coefficients (s = Xq @ (c*z)) and back out of the gradient
+        # (dll/dz = diag(c) Xq^T r).
+        Z_eff = Z if col_scale is None else Z * col_scale
         if use_pallas:
             c = Z.shape[0]
             c_pad = _round_up(c, _LANE)
             d_pad = Xp.shape[1]
-            Bt = jnp.zeros((d_pad, c_pad), Xp.dtype).at[:d, :c].set(
-                Z.astype(Xp.dtype).T
+            bt_dtype = jnp.bfloat16 if Xp.dtype == jnp.int8 else Xp.dtype
+            Bt = jnp.zeros((d_pad, c_pad), bt_dtype).at[:d, :c].set(
+                Z_eff.astype(bt_dtype).T
             )
             ll_pad, g_pad = _fused_padded_call(Xp, yp, Bt, tile_n, False)
             ll = ll_pad[0, :c] + pad_const
@@ -239,9 +267,11 @@ def make_fused_logistic_vag(
             # Padded rows are zero: they add a constant -log2 each, cancelled
             # by pad_const; their gradient contribution is exactly zero.
             ll, g = _reference_value_and_grad(
-                Xp[:, :d].astype(jnp.float32), yp[:, 0], Z
+                Xp[:, :d].astype(jnp.float32), yp[:, 0], Z_eff
             )
             ll = ll + pad_const
+        if col_scale is not None:
+            g = g * col_scale
         return ll + _prior(Z, d), g - inv_var * Z
 
     if data_aware:
@@ -250,7 +280,8 @@ def make_fused_logistic_vag(
         def vag(z, data):
             d = data["dim"].shape[0]
             ll, g = _batched_from(
-                data["Xp"], data["yp"], data["pad_const"], d, z[None]
+                data["Xp"], data["yp"], data["pad_const"], d, z[None],
+                data.get("col_scale"),
             )
             return ll[0], g[0]
 
@@ -258,7 +289,10 @@ def make_fused_logistic_vag(
         def _vag_vmap(axis_size, in_batched, Z, data):
             del axis_size, in_batched
             d = data["dim"].shape[0]
-            ll, g = _batched_from(data["Xp"], data["yp"], data["pad_const"], d, Z)
+            ll, g = _batched_from(
+                data["Xp"], data["yp"], data["pad_const"], d, Z,
+                data.get("col_scale"),
+            )
             return (ll, g), (True, True)
 
         return vag

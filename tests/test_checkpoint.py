@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mlx_mcmc_tpu import Normal, sample
 from mlx_mcmc_tpu.io import load_checkpoint, resume, save_checkpoint
@@ -72,3 +73,22 @@ class TestConfig:
         assert kw["max_tree_depth"] == 10
         kw = SamplerConfig(kernel="hmc").to_kwargs()
         assert "max_tree_depth" not in kw
+
+
+class TestOrbaxBackend:
+    def test_orbax_roundtrip(self, tmp_path):
+        pytest.importorskip("orbax.checkpoint")
+        res = sample(
+            _model, {"x": jnp.zeros(2)}, num_samples=100, num_warmup=100,
+            num_chains=2, kernel="nuts", seed=0,
+        )
+        path = str(tmp_path / "ckpt_orbax")
+        save_checkpoint(path, res, backend="orbax")
+        ckpt = load_checkpoint(path)
+        assert ckpt["kernel"] == "nuts"
+        np.testing.assert_allclose(
+            ckpt["inv_mass_diag"], np.asarray(res.tunables.inv_mass_diag),
+            rtol=1e-6,
+        )
+        res2 = resume(_model, ckpt, num_samples=50)
+        assert res2.samples["x"].shape == (2, 50, 2)

@@ -138,3 +138,36 @@ class TestProgress:
         phases = {e[0] for e in events}
         assert "warmup" in phases and "sample" in phases
         assert len(events) == 10  # 5 per phase
+
+
+class TestChainMethod:
+    def test_sharded_through_facade(self, data):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mcmc = MCMC(_model(data))
+        samples = mcmc.run(
+            {"mu": 0.0, "sigma": 1.0},
+            num_samples=300,
+            num_warmup=300,
+            method="nuts",
+            num_chains=8,
+            chain_method="sharded",
+            verbose=False,
+        )
+        assert samples["mu"].shape == (2400,)
+        assert abs(samples["mu"].mean() - float(data.mean())) < 0.3
+
+    def test_sharded_metropolis_rejected(self, data):
+        with pytest.raises(ValueError, match="sharded"):
+            MCMC(_model(data)).run(
+                {"mu": 0.0}, method="metropolis", chain_method="sharded",
+                verbose=False,
+            )
+
+    def test_unknown_chain_method(self, data):
+        with pytest.raises(ValueError, match="chain_method"):
+            MCMC(_model(data)).run(
+                {"mu": 0.0}, chain_method="pmap", verbose=False,
+            )

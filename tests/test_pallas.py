@@ -149,3 +149,55 @@ class TestDataAwarePath:
         draws = np.asarray(res.samples["beta"])
         assert draws.shape == (2, 200, X.shape[1])
         assert np.isfinite(draws).all()
+
+
+class TestInt8Path:
+    def test_int8_quantized_matches_dequantized_reference(self, problem):
+        X, y, Z = problem
+        from mlx_mcmc_tpu.ops.pallas.glm import prepare_fused_logistic_data
+
+        data = prepare_fused_logistic_data(X, y, tile_n=128, quantize="int8")
+        assert data["Xp"].dtype == jnp.int8
+        vag = make_fused_logistic_vag(
+            prior_scale=1.0, use_pallas=False, data_aware=True
+        )
+        ll_q, g_q = vag(Z[0], data)
+
+        # Ground truth: exact f32 computation on the dequantized matrix.
+        Xdq = data["Xp"][: X.shape[0], : X.shape[1]].astype(jnp.float32) * data[
+            "col_scale"
+        ]
+        ll_ref, g_ref = _reference_value_and_grad(Xdq, y, Z[:1])
+        prior = -0.5 * jnp.sum(Z[0] ** 2) - 0.5 * X.shape[1] * jnp.log(
+            2 * jnp.pi
+        )
+        np.testing.assert_allclose(
+            float(ll_q), float(ll_ref[0] + prior), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_q), np.asarray(g_ref[0] - Z[0]), rtol=1e-4, atol=1e-5
+        )
+
+    def test_int8_close_to_f32_model(self, problem):
+        # Quantization is a model-level rounding: posterior quantities move
+        # by O(1/127) relative, not more.
+        X, y, Z = problem
+        from mlx_mcmc_tpu.ops.pallas.glm import prepare_fused_logistic_data
+
+        d8 = prepare_fused_logistic_data(X, y, tile_n=128, quantize="int8")
+        d32 = prepare_fused_logistic_data(X, y, tile_n=128)
+        vag = make_fused_logistic_vag(
+            prior_scale=1.0, use_pallas=False, data_aware=True
+        )
+        ll8, g8 = vag(Z[0], d8)
+        ll32, g32 = vag(Z[0], d32)
+        assert abs(float(ll8) - float(ll32)) / abs(float(ll32)) < 0.02
+        denom = np.linalg.norm(np.asarray(g32))
+        assert np.linalg.norm(np.asarray(g8) - np.asarray(g32)) / denom < 0.05
+
+    def test_unknown_quantize_mode(self, problem):
+        X, y, _ = problem
+        from mlx_mcmc_tpu.ops.pallas.glm import prepare_fused_logistic_data
+
+        with pytest.raises(ValueError, match="quantize"):
+            prepare_fused_logistic_data(X, y, quantize="fp4")
