@@ -106,6 +106,7 @@ def build_sampler(
     kernel: str = "nuts",
     num_warmup: int = 1000,
     num_samples: int = 1000,
+    thin: int = 1,
     step_size=0.1,
     adapt_step_size: bool = True,
     adapt_mass_matrix: bool = True,
@@ -279,16 +280,34 @@ def build_sampler(
 
         tunables = _final_tunables(adapt)
 
-        def sample_body(states, t):
+        def _one_step(states, t):
             keys = jax.vmap(lambda ck: jax.random.fold_in(ck, t))(chain_keys)
-            states, infos = jax.vmap(step_fn, in_axes=(0, 0, None))(
-                keys, states, tunables
-            )
-            _maybe_report("sample", t, infos, tunables.step_size)
-            return states, (states.position, infos)
+            return jax.vmap(step_fn, in_axes=(0, 0, None))(keys, states, tunables)
+
+        if thin == 1:
+
+            def sample_body(states, t):
+                states, infos = _one_step(states, t)
+                _maybe_report("sample", t, infos, tunables.step_size)
+                return states, (states.position, infos)
+
+        else:
+            # Keep every `thin`-th draw: an inner scan advances the chain,
+            # only the block's last state/info are stored.
+            def sample_body(states, t0):
+                ts = t0 + jnp.arange(thin, dtype=jnp.int32)
+                states, infos = jax.lax.scan(
+                    lambda st, t: _one_step(st, t), states, ts
+                )
+                info_last = jax.tree_util.tree_map(lambda x: x[-1], infos)
+                _maybe_report("sample", t0, info_last, tunables.step_size)
+                return states, (states.position, info_last)
 
         sample_steps = jnp.arange(
-            num_warmup, num_warmup + num_samples, dtype=jnp.int32
+            num_warmup,
+            num_warmup + num_samples * thin,
+            thin,
+            dtype=jnp.int32,
         )
         states, (positions, infos) = jax.lax.scan(sample_body, states, sample_steps)
 

@@ -99,3 +99,28 @@ class TestMetropolis:
         )
         xs = np.asarray(res.samples["x"]).ravel()
         assert (xs[-500:] > 0).all()
+
+
+class TestThinning:
+    def test_thinned_shapes_and_decorrelation(self):
+        kwargs = dict(num_warmup=200, num_chains=2, kernel="metropolis",
+                      seed=0, step_size=0.6)
+        dense = sample(_gaussian_model(), {"x": 0.0}, num_samples=2000, **kwargs)
+        thinned = sample(_gaussian_model(), {"x": 0.0}, num_samples=400,
+                         thin=5, **kwargs)
+        assert thinned.samples["x"].shape == (2, 400)
+        from mlx_mcmc_tpu.diagnostics import effective_sample_size
+
+        ess_dense = float(effective_sample_size(np.asarray(dense.samples["x"])))
+        ess_thin = float(effective_sample_size(np.asarray(thinned.samples["x"])))
+        # Per stored draw, thinned chains are less autocorrelated.
+        assert ess_thin / 800 > ess_dense / 4000
+
+    def test_thin_posterior_unbiased(self):
+        res = sample(
+            _gaussian_model(), {"x": 0.0}, num_samples=1500, num_warmup=300,
+            num_chains=4, kernel="nuts", seed=1, thin=3,
+        )
+        xs = np.asarray(res.samples["x"]).ravel()
+        assert abs(xs.mean() - 2.0) < 0.12
+        assert abs(xs.std() - 1.5) < 0.15
