@@ -36,12 +36,24 @@ from mlx_mcmc_tpu.kernels.integrators import (
     total_energy,
 )
 from mlx_mcmc_tpu.kernels.base import TransitionInfo, Tunables
+from mlx_mcmc_tpu.kernels.chees import (
+    chees_gradient,
+    halton_sequence,
+    make_chees_kernel,
+    trajectory_init,
+    trajectory_update,
+)
 from mlx_mcmc_tpu.kernels.hmc import make_hmc_kernel
 from mlx_mcmc_tpu.kernels.metropolis import make_metropolis_kernel
 from mlx_mcmc_tpu.kernels.nuts import make_nuts_kernel
 from mlx_mcmc_tpu.ops.math import WelfordState
 
-_DEFAULT_TARGET_ACCEPT = {"metropolis": 0.234, "hmc": 0.8, "nuts": 0.65}
+_DEFAULT_TARGET_ACCEPT = {
+    "metropolis": 0.234,
+    "hmc": 0.8,
+    "nuts": 0.65,
+    "chees": 0.651,  # harmonic-mean acceptance target of the ChEES paper
+}
 
 
 def make_kernel(kernel: str, flat_log_prob: Callable, **kwargs):
@@ -62,6 +74,12 @@ def make_kernel(kernel: str, flat_log_prob: Callable, **kwargs):
         return make_nuts_kernel(
             flat_log_prob,
             max_tree_depth=kwargs.get("max_tree_depth", 10),
+            value_and_grad_fn=kwargs.get("value_and_grad_fn"),
+        )
+    if kernel == "chees":
+        return make_chees_kernel(
+            flat_log_prob,
+            max_leapfrog_steps=kwargs.get("max_leapfrog_steps", 1000),
             value_and_grad_fn=kwargs.get("value_and_grad_fn"),
         )
     raise ValueError(f"Unknown kernel: {kernel!r}")
@@ -179,14 +197,22 @@ def build_sampler(
             eps = jnp.exp(adapt.da.log_step)
         else:
             eps = jnp.asarray(step_size, jnp.float32)
-        return Tunables(step_size=eps, inv_mass_diag=adapt.inv_mass_diag)
+        return Tunables(
+            step_size=eps,
+            inv_mass_diag=adapt.inv_mass_diag,
+            trajectory_length=jnp.asarray(1.0, jnp.float32),
+        )
 
     def _final_tunables(adapt: AdaptationState) -> Tunables:
         if adapt_step_size:
             eps = jnp.exp(adapt.da.log_step_avg)
         else:
             eps = jnp.asarray(step_size, jnp.float32)
-        return Tunables(step_size=eps, inv_mass_diag=adapt.inv_mass_diag)
+        return Tunables(
+            step_size=eps,
+            inv_mass_diag=adapt.inv_mass_diag,
+            trajectory_length=jnp.asarray(1.0, jnp.float32),
+        )
 
     def run(
         chain_keys: jnp.ndarray, z0_batch: jnp.ndarray, data=None
@@ -248,15 +274,29 @@ def build_sampler(
         else:
             eps_init = step_size
         adapt = adaptation_init(dim, eps_init, init_inv_mass_diag)
+        is_chees = kernel == "chees"
+        traj = trajectory_init(eps_init) if is_chees else ()
+        _pmean = (lambda x: jax.lax.pmean(x, axis_name)) if axis_name else None
+
+        def _with_trajectory(tunables: Tunables, traj, t) -> Tunables:
+            """ChEES: this draw's jittered integration length (shared by all
+            chains — Halton of the global step index, layout-invariant)."""
+            if not is_chees:
+                return tunables
+            u = halton_sequence(t)
+            return tunables._replace(
+                trajectory_length=u * jnp.exp(traj.log_tau)
+            )
 
         warmup_collect = None
         if num_warmup > 0:
 
             def warmup_body(carry, xs):
-                states, adapt = carry
+                states, adapt, traj = carry
                 t, slow_flag, end_flag = xs
                 keys = jax.vmap(lambda ck: jax.random.fold_in(ck, t))(chain_keys)
-                tunables = _current_tunables(adapt)
+                tunables = _with_trajectory(_current_tunables(adapt), traj, t)
+                prev_positions = states.position
                 states, infos = jax.vmap(step_fn, in_axes=(0, 0, None))(
                     keys, states, tunables
                 )
@@ -269,20 +309,45 @@ def build_sampler(
                     target_accept,
                     welford_reduce=welford_reduce,
                 )
+                if is_chees:
+                    grad = chees_gradient(
+                        prev_positions, infos, halton_sequence(t), _pmean
+                    )
+                    traj = trajectory_update(
+                        traj, grad, tunables.step_size,
+                        max_leapfrog_steps=kernel_kwargs.get(
+                            "max_leapfrog_steps", 1000
+                        ),
+                    )
                 _maybe_report("warmup", t, infos, tunables.step_size)
                 out = (states.position, infos) if collect_warmup else None
-                return (states, adapt), out
+                return (states, adapt, traj), out
 
             steps = jnp.arange(num_warmup, dtype=jnp.int32)
-            (states, adapt), warmup_collect = jax.lax.scan(
-                warmup_body, (states, adapt), (steps, in_slow, window_end)
+            (states, adapt, traj), warmup_collect = jax.lax.scan(
+                warmup_body, (states, adapt, traj), (steps, in_slow, window_end)
             )
 
         tunables = _final_tunables(adapt)
+        if is_chees:
+            # report the adapted base trajectory length (pre-jitter)
+            tunables = tunables._replace(trajectory_length=jnp.exp(traj.log_tau))
 
         def _one_step(states, t):
             keys = jax.vmap(lambda ck: jax.random.fold_in(ck, t))(chain_keys)
-            return jax.vmap(step_fn, in_axes=(0, 0, None))(keys, states, tunables)
+            step_tunables = _with_trajectory(tunables, traj, t)
+            states, infos = jax.vmap(step_fn, in_axes=(0, 0, None))(
+                keys, states, step_tunables
+            )
+            if is_chees:
+                # The endpoint extras are only needed for warmup adaptation;
+                # drop them from the stored draws ((S, C, D) would double the
+                # sample-store footprint).
+                infos = infos._replace(
+                    proposal_position=infos.proposal_position[..., :0],
+                    end_velocity=infos.end_velocity[..., :0],
+                )
+            return states, infos
 
         if thin == 1:
 

@@ -24,15 +24,20 @@ import jax.numpy as jnp
 class Tunables(NamedTuple):
     """Adaptation-controlled sampler knobs.
 
-    ``step_size``: leapfrog step size (HMC/NUTS) or random-walk proposal scale
-    (Metropolis). ``inv_mass_diag``: diagonal of the inverse mass matrix —
-    the running estimate of posterior variance per dimension. Metropolis uses
-    ``sqrt(inv_mass_diag)`` to shape its proposal, so mass adaptation benefits
-    all three kernels.
+    ``step_size``: leapfrog step size (HMC/NUTS/ChEES) or random-walk
+    proposal scale (Metropolis). ``inv_mass_diag``: diagonal of the inverse
+    mass matrix — the running estimate of posterior variance per dimension.
+    Metropolis uses ``sqrt(inv_mass_diag)`` to shape its proposal, so mass
+    adaptation benefits every kernel. ``trajectory_length``: this draw's
+    (jittered) integration length — consumed by ChEES-HMC, ignored by the
+    other kernels.
     """
 
     step_size: jnp.ndarray
     inv_mass_diag: jnp.ndarray
+    # python-float default (not a jnp array: creating one at import time
+    # would initialize the JAX backend as a side effect of importing)
+    trajectory_length: jnp.ndarray = 1.0
 
 
 def identity_tunables(dim: int, step_size: float = 0.1) -> Tunables:
