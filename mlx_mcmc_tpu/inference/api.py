@@ -128,6 +128,7 @@ def sample(
     transforms: Optional[dict] = None,
     config=None,
     data=None,
+    init_strategy: str = "tile",
     **kernel_kwargs,
 ) -> MCMCResult:
     """Run compiled multi-chain MCMC against a dict-of-params model.
@@ -211,6 +212,9 @@ def sample(
         **kernel_kwargs,
     )
 
+    if init_strategy not in ("tile", "map"):
+        raise ValueError(f"Unknown init_strategy: {init_strategy!r}")
+
     key = _as_key(seed)
     key_init, key_run = jax.random.split(key)
     if z0_batched is not None:
@@ -222,6 +226,15 @@ def sample(
         z0_batch = z0_batched
     else:
         z0_batch = prepare_initial_positions(z0, num_chains, key_init, jitter)
+    if init_strategy == "map":
+        from mlx_mcmc_tpu.inference.init_strategies import map_initialize
+
+        z0_batch = jax.jit(
+            lambda zb, k, d: map_initialize(
+                flat_log_prob, zb, k,
+                jitter=jitter if jitter > 0 else 1.0, data=d,
+            )
+        )(z0_batch, key_init, data)
     chain_keys = make_chain_keys(key_run, num_chains)
     result: ChainResult = jax.jit(run)(chain_keys, z0_batch, data)
 

@@ -171,3 +171,30 @@ class TestChainMethod:
             MCMC(_model(data)).run(
                 {"mu": 0.0}, chain_method="pmap", verbose=False,
             )
+
+
+class TestMapInit:
+    def test_map_init_starts_near_mode(self, data):
+        from mlx_mcmc_tpu import sample as _sample
+
+        # Start absurdly far away; MAP init must land warmup near the mode
+        # and the (short) run must still recover the posterior.
+        res = _sample(
+            _model(data),
+            {"mu": -200.0, "sigma": 50.0},
+            num_samples=300,
+            num_warmup=300,
+            num_chains=4,
+            kernel="nuts",
+            seed=0,
+            init_strategy="map",
+        )
+        mu = np.asarray(res.samples["mu"]).ravel()
+        assert abs(mu.mean() - float(np.asarray(data).mean())) < 0.3
+
+    def test_unknown_strategy_raises(self, data):
+        from mlx_mcmc_tpu import sample as _sample
+
+        with pytest.raises(ValueError, match="init_strategy"):
+            _sample(_model(data), {"mu": 0.0, "sigma": 1.0},
+                    num_samples=10, num_warmup=10, init_strategy="magic")
