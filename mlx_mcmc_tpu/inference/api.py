@@ -133,10 +133,17 @@ def sample(
 ) -> MCMCResult:
     """Run compiled multi-chain MCMC against a dict-of-params model.
 
-    ``kernel`` is 'metropolis' | 'hmc' | 'nuts'. Kernel-specific options pass
-    through: ``num_leapfrog_steps`` (hmc), ``max_tree_depth`` (nuts).
+    ``kernel`` is 'metropolis' | 'hmc' | 'nuts' | 'chees'. Kernel-specific
+    options pass through: ``num_leapfrog_steps`` (hmc), ``max_tree_depth``
+    (nuts), ``max_leapfrog_steps`` (chees); also ``thin``, ``progress_every``,
+    ``value_and_grad_fn``, ``init_inv_mass_diag``.
     With ``batched_initial=True`` every leaf of ``initial_params`` carries a
     leading ``num_chains`` axis (per-chain starting points).
+
+    ``data``: optional pytree passed as a runtime argument to a binary model
+    ``log_prob_fn(params, data)`` — use for large datasets (closure constants
+    bloat compiled programs). ``init_strategy``: 'tile' (default) or 'map'
+    (per-chain Adam ascent to the typical set before warmup).
 
     ``transforms`` maps parameter names to unconstraining transforms (names
     like 'log'/'logit'/'simplex' or Transform instances): those parameters

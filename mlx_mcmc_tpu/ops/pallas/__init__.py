@@ -10,7 +10,9 @@ VMEM.
 
 from mlx_mcmc_tpu.ops.pallas.glm import (
     fused_logistic_value_and_grad,
+    make_fused_linear_vag,
     make_fused_logistic_vag,
+    prepare_fused_linear_data,
     prepare_fused_logistic_data,
 )
 
@@ -18,4 +20,6 @@ __all__ = [
     "fused_logistic_value_and_grad",
     "make_fused_logistic_vag",
     "prepare_fused_logistic_data",
+    "make_fused_linear_vag",
+    "prepare_fused_linear_data",
 ]

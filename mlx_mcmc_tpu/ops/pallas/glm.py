@@ -133,6 +133,146 @@ def _pad_data(X, y, tile_n: int):
     return Xp, yp
 
 
+def _fused_linear_kernel(x_ref, y_ref, bt_ref, ll_ref, g_ref):
+    """Gaussian-likelihood sibling of ``_fused_kernel``: accumulates
+    ``-0.5 * sum (y - X z)^2`` and ``X^T (y - X z)`` in one X pass (the
+    1/noise_scale^2 factor is applied by the wrapper). Zero-padded rows
+    contribute exactly nothing (y=0, s=0), so no pad constant is needed."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        ll_ref[:] = jnp.zeros_like(ll_ref)
+        g_ref[:] = jnp.zeros_like(g_ref)
+
+    x = x_ref[:]
+    if x.dtype == jnp.int8:
+        x = x.astype(jnp.bfloat16)
+    y = y_ref[:]
+    bt = bt_ref[:]
+
+    s = jnp.dot(x, bt, preferred_element_type=jnp.float32)
+    r = y - s
+    ll_ref[:] += -0.5 * jnp.sum(r * r, axis=0, keepdims=True)
+    g_ref[:] += jax.lax.dot_general(
+        x,
+        r.astype(x.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _fused_linear_call(Xp, yp, Bt, tile_n: int, interpret: bool):
+    n_pad, d_pad = Xp.shape
+    c_pad = Bt.shape[1]
+    return pl.pallas_call(
+        _fused_linear_kernel,
+        grid=(n_pad // tile_n,),
+        in_specs=[
+            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, c_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, c_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, c_pad), jnp.float32),
+            jax.ShapeDtypeStruct((d_pad, c_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n_pad * d_pad * c_pad,
+            bytes_accessed=n_pad * d_pad * Xp.dtype.itemsize
+            + 2 * d_pad * c_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(Xp, yp, Bt)
+
+
+def make_fused_linear_vag(
+    noise_scale: float = 1.0,
+    prior_scale: float = 1.0,
+    tile_n: int = _DEFAULT_TILE_N,
+    use_pallas: bool | None = None,
+):
+    """``value_and_grad`` of a Gaussian linear-regression log-posterior
+    (known noise scale, N(0, prior_scale) prior), data-aware:
+    ``vag(z, data)`` with ``data`` from :func:`prepare_fused_linear_data`.
+    Same custom_vmap chain-batching as the logistic kernel."""
+    import math
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() in ("tpu", "axon")
+    inv_noise_var = 1.0 / (noise_scale * noise_scale)
+    inv_prior_var = 1.0 / (prior_scale * prior_scale)
+
+    def _batched(Z, data):
+        Xp, yp = data["Xp"], data["yp"]
+        d = data["dim"].shape[0]
+        c = Z.shape[0]
+        ll_norm = data["ll_norm"]  # Gaussian normalizer (per chain, constant)
+        if use_pallas:
+            c_pad = _round_up(c, _LANE)
+            d_pad = Xp.shape[1]
+            bt_dtype = jnp.bfloat16 if Xp.dtype == jnp.int8 else Xp.dtype
+            Bt = jnp.zeros((d_pad, c_pad), bt_dtype).at[:d, :c].set(
+                Z.astype(bt_dtype).T
+            )
+            ll_pad, g_pad = _fused_linear_call(Xp, yp, Bt, tile_n, False)
+            ll = ll_pad[0, :c]
+            g = g_pad[:d, :c].T
+        else:
+            X = Xp[:, :d].astype(jnp.float32)
+            s = Z @ X.T  # (C, N)
+            r = yp[:, 0][None] - s
+            ll = -0.5 * jnp.sum(r * r, axis=-1)
+            g = r @ X
+        ll = ll * inv_noise_var + ll_norm
+        g = g * inv_noise_var
+        d_f = float(d)
+        log_prior_norm = -0.5 * d_f * math.log(2.0 * math.pi * prior_scale**2)
+        ll = ll + log_prior_norm - 0.5 * inv_prior_var * jnp.sum(Z * Z, axis=-1)
+        return ll, g - inv_prior_var * Z
+
+    @jax.custom_batching.custom_vmap
+    def vag(z, data):
+        ll, g = _batched(z[None], data)
+        return ll[0], g[0]
+
+    @vag.def_vmap
+    def _vag_vmap(axis_size, in_batched, Z, data):
+        del axis_size, in_batched
+        ll, g = _batched(Z, data)
+        return (ll, g), (True, True)
+
+    return vag
+
+
+def prepare_fused_linear_data(
+    X, y, noise_scale: float = 1.0, tile_n: int = _DEFAULT_TILE_N,
+    quantize: str | None = None,
+) -> dict:
+    """Pack a linear-regression dataset for :func:`make_fused_linear_vag`.
+    (int8 is not offered here — bf16 X is the measured sweet spot and the
+    int8 path is VPU-cast-bound anyway; pass bf16 X for halved traffic.)"""
+    import math
+
+    if quantize is not None:
+        raise ValueError("linear kernel supports f32/bf16 X only")
+    X = jnp.asarray(X)
+    n, d = X.shape
+    Xp, yp = _pad_data(X, jnp.asarray(y), tile_n)
+    ll_norm = -0.5 * n * math.log(2.0 * math.pi * noise_scale**2)
+    return {
+        "Xp": Xp,
+        "yp": yp,
+        "ll_norm": jnp.asarray(ll_norm, jnp.float32),
+        "dim": jnp.zeros((d,), jnp.float32),
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
 def fused_logistic_value_and_grad(
     X: jnp.ndarray,

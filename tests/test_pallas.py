@@ -201,3 +201,77 @@ class TestInt8Path:
 
         with pytest.raises(ValueError, match="quantize"):
             prepare_fused_logistic_data(X, y, quantize="fp4")
+
+
+class TestLinearKernel:
+    def test_matches_analytic_value_and_grad(self):
+        from mlx_mcmc_tpu.ops.pallas.glm import (
+            make_fused_linear_vag,
+            prepare_fused_linear_data,
+        )
+        from mlx_mcmc_tpu.distributions import Normal
+
+        key = jax.random.PRNGKey(3)
+        kx, ky, kz = jax.random.split(key, 3)
+        n, d = 257, 19
+        X = jax.random.normal(kx, (n, d), jnp.float32)
+        beta_true = jax.random.normal(kz, (d,))
+        y = X @ beta_true + 0.5 * jax.random.normal(ky, (n,))
+        z = 0.2 * jax.random.normal(kz, (d,))
+
+        def log_prob(z):
+            return jnp.sum(Normal(X @ z, 0.5).log_prob(y)) + jnp.sum(
+                Normal(0.0, 2.0).log_prob(z)
+            )
+
+        vag = make_fused_linear_vag(
+            noise_scale=0.5, prior_scale=2.0, use_pallas=False
+        )
+        data = prepare_fused_linear_data(X, y, noise_scale=0.5, tile_n=128)
+        ll, g = vag(z, data)
+        ll_ref, g_ref = jax.value_and_grad(log_prob)(z)
+        np.testing.assert_allclose(float(ll), float(ll_ref), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-3)
+
+    def test_sampler_recovers_analytic_posterior(self):
+        from mlx_mcmc_tpu.ops.pallas.glm import (
+            make_fused_linear_vag,
+            prepare_fused_linear_data,
+        )
+        from mlx_mcmc_tpu import sample
+        from mlx_mcmc_tpu.distributions import Normal
+
+        key = jax.random.PRNGKey(4)
+        kx, ky, kz = jax.random.split(key, 3)
+        n, d = 400, 8
+        X = jax.random.normal(kx, (n, d), jnp.float32)
+        beta_true = jax.random.normal(kz, (d,))
+        y = X @ beta_true + jax.random.normal(ky, (n,))
+
+        vag = make_fused_linear_vag(noise_scale=1.0, prior_scale=1.0,
+                                    use_pallas=False)
+        data = prepare_fused_linear_data(X, y, tile_n=128)
+
+        def log_prob(params, data):
+            dd = data["dim"].shape[0]
+            mu = data["Xp"][:, :dd] @ params["beta"]
+            r = data["yp"][:, 0] - mu
+            return (-0.5 * jnp.sum(r * r) + data["ll_norm"]
+                    + jnp.sum(Normal(0.0, 1.0).log_prob(params["beta"])))
+
+        res = sample(log_prob, {"beta": jnp.zeros(d)}, data=data,
+                     value_and_grad_fn=vag, num_samples=1500, num_warmup=500,
+                     num_chains=2, kernel="nuts", seed=0)
+        draws = np.asarray(res.samples["beta"]).reshape(-1, d)
+        Xn, yn = np.asarray(X, np.float64), np.asarray(y, np.float64)
+        cov = np.linalg.inv(Xn.T @ Xn + np.eye(d))
+        mean = cov @ (Xn.T @ yn)
+        np.testing.assert_allclose(draws.mean(axis=0), mean, atol=0.06)
+
+    def test_quantize_rejected(self):
+        from mlx_mcmc_tpu.ops.pallas.glm import prepare_fused_linear_data
+
+        with pytest.raises(ValueError, match="bf16"):
+            prepare_fused_linear_data(
+                jnp.zeros((8, 4)), jnp.zeros(8), quantize="int8"
+            )
