@@ -9,6 +9,7 @@ VMEM.
 """
 
 from mlx_mcmc_tpu.ops.pallas.glm import (
+    fused_linear_value_and_grad,
     fused_logistic_value_and_grad,
     make_fused_linear_vag,
     make_fused_logistic_vag,
@@ -17,6 +18,7 @@ from mlx_mcmc_tpu.ops.pallas.glm import (
 )
 
 __all__ = [
+    "fused_linear_value_and_grad",
     "fused_logistic_value_and_grad",
     "make_fused_logistic_vag",
     "prepare_fused_logistic_data",

@@ -90,14 +90,24 @@ def _fused_kernel(x_ref, y_ref, bt_ref, ll_ref, g_ref):
     )
 
 
-def _fused_padded_call(Xp, yp, Bt, tile_n: int, interpret: bool):
+def _fused_padded_call(
+    Xp, yp, Bt, tile_n: int, interpret: bool, kernel_fn=None
+):
     """Pallas call on pre-padded operands: Xp (n_pad, d_pad), yp (n_pad, 1),
-    Bt (d_pad, c_pad). Returns (ll_pad (1, c_pad), g_pad (d_pad, c_pad))."""
+    Bt (d_pad, c_pad). Returns (ll_pad (1, c_pad), g_pad (d_pad, c_pad)).
+    ``kernel_fn`` selects the likelihood body (logistic default, linear)."""
+    if kernel_fn is None:
+        kernel_fn = _fused_kernel
     n_pad, d_pad = Xp.shape
     c_pad = Bt.shape[1]
+    if n_pad % tile_n != 0:
+        raise ValueError(
+            f"padded rows ({n_pad}) not a multiple of tile_n={tile_n}; "
+            "the data was prepared with a different tile size"
+        )
     grid = (n_pad // tile_n,)
     return pl.pallas_call(
-        _fused_kernel,
+        kernel_fn,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -114,8 +124,9 @@ def _fused_padded_call(Xp, yp, Bt, tile_n: int, interpret: bool):
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * n_pad * d_pad * c_pad,
-            bytes_accessed=n_pad * d_pad * 4 + 2 * d_pad * c_pad * 4,
-            transcendentals=n_pad * c_pad,
+            bytes_accessed=n_pad * d_pad * Xp.dtype.itemsize
+            + 2 * d_pad * c_pad * 4,
+            transcendentals=n_pad * c_pad if kernel_fn is _fused_kernel else 0,
         ),
         interpret=interpret,
     )(Xp, yp, Bt)
@@ -145,9 +156,7 @@ def _fused_linear_kernel(x_ref, y_ref, bt_ref, ll_ref, g_ref):
         ll_ref[:] = jnp.zeros_like(ll_ref)
         g_ref[:] = jnp.zeros_like(g_ref)
 
-    x = x_ref[:]
-    if x.dtype == jnp.int8:
-        x = x.astype(jnp.bfloat16)
+    x = x_ref[:]  # f32 or bf16 (no int8: no scale folding for residuals)
     y = y_ref[:]
     bt = bt_ref[:]
 
@@ -162,65 +171,59 @@ def _fused_linear_kernel(x_ref, y_ref, bt_ref, ll_ref, g_ref):
     )
 
 
-def _fused_linear_call(Xp, yp, Bt, tile_n: int, interpret: bool):
-    n_pad, d_pad = Xp.shape
-    c_pad = Bt.shape[1]
-    return pl.pallas_call(
-        _fused_linear_kernel,
-        grid=(n_pad // tile_n,),
-        in_specs=[
-            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d_pad, c_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, c_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d_pad, c_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((1, c_pad), jnp.float32),
-            jax.ShapeDtypeStruct((d_pad, c_pad), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=4 * n_pad * d_pad * c_pad,
-            bytes_accessed=n_pad * d_pad * Xp.dtype.itemsize
-            + 2 * d_pad * c_pad * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(Xp, yp, Bt)
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def fused_linear_value_and_grad(
+    X: jnp.ndarray,
+    y: jnp.ndarray,
+    Z: jnp.ndarray,
+    tile_n: int = _DEFAULT_TILE_N,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched fused Gaussian sum-of-squares and gradient (unscaled:
+    returns ``-0.5 sum (y - Xz)^2`` and ``X^T (y - Xz)`` per chain).
+    Convenience/test entry; the sampler path is :func:`make_fused_linear_vag`.
+    """
+    n, d = X.shape
+    c = Z.shape[0]
+    c_pad = _round_up(c, _LANE)
+    Xp, yp = _pad_data(jnp.asarray(X), y, tile_n)
+    d_pad = Xp.shape[1]
+    Bt = jnp.zeros((d_pad, c_pad), Xp.dtype).at[:d, :c].set(Z.astype(Xp.dtype).T)
+    ll_pad, g_pad = _fused_padded_call(
+        Xp, yp, Bt, tile_n, interpret, kernel_fn=_fused_linear_kernel
+    )
+    return ll_pad[0, :c], g_pad[:d, :c].T
 
 
 def make_fused_linear_vag(
-    noise_scale: float = 1.0,
     prior_scale: float = 1.0,
-    tile_n: int = _DEFAULT_TILE_N,
     use_pallas: bool | None = None,
 ):
     """``value_and_grad`` of a Gaussian linear-regression log-posterior
-    (known noise scale, N(0, prior_scale) prior), data-aware:
-    ``vag(z, data)`` with ``data`` from :func:`prepare_fused_linear_data`.
+    (N(0, prior_scale) prior), data-aware: ``vag(z, data)`` with ``data``
+    from :func:`prepare_fused_linear_data` — which carries the noise scale
+    and tile size, so they cannot silently disagree with the factory.
     Same custom_vmap chain-batching as the logistic kernel."""
     import math
 
     if use_pallas is None:
         use_pallas = jax.default_backend() in ("tpu", "axon")
-    inv_noise_var = 1.0 / (noise_scale * noise_scale)
     inv_prior_var = 1.0 / (prior_scale * prior_scale)
 
     def _batched(Z, data):
         Xp, yp = data["Xp"], data["yp"]
         d = data["dim"].shape[0]
+        tile_n = data["tile"].shape[0]
         c = Z.shape[0]
-        ll_norm = data["ll_norm"]  # Gaussian normalizer (per chain, constant)
         if use_pallas:
             c_pad = _round_up(c, _LANE)
             d_pad = Xp.shape[1]
-            bt_dtype = jnp.bfloat16 if Xp.dtype == jnp.int8 else Xp.dtype
-            Bt = jnp.zeros((d_pad, c_pad), bt_dtype).at[:d, :c].set(
-                Z.astype(bt_dtype).T
+            Bt = jnp.zeros((d_pad, c_pad), Xp.dtype).at[:d, :c].set(
+                Z.astype(Xp.dtype).T
             )
-            ll_pad, g_pad = _fused_linear_call(Xp, yp, Bt, tile_n, False)
+            ll_pad, g_pad = _fused_padded_call(
+                Xp, yp, Bt, tile_n, False, kernel_fn=_fused_linear_kernel
+            )
             ll = ll_pad[0, :c]
             g = g_pad[:d, :c].T
         else:
@@ -229,7 +232,8 @@ def make_fused_linear_vag(
             r = yp[:, 0][None] - s
             ll = -0.5 * jnp.sum(r * r, axis=-1)
             g = r @ X
-        ll = ll * inv_noise_var + ll_norm
+        inv_noise_var = data["inv_noise_var"]
+        ll = ll * inv_noise_var + data["ll_norm"]
         g = g * inv_noise_var
         d_f = float(d)
         log_prior_norm = -0.5 * d_f * math.log(2.0 * math.pi * prior_scale**2)
@@ -256,7 +260,12 @@ def prepare_fused_linear_data(
 ) -> dict:
     """Pack a linear-regression dataset for :func:`make_fused_linear_vag`.
     (int8 is not offered here — bf16 X is the measured sweet spot and the
-    int8 path is VPU-cast-bound anyway; pass bf16 X for halved traffic.)"""
+    int8 path is VPU-cast-bound anyway; pass bf16 X for halved traffic.)
+
+    The noise scale and tile size travel inside the data pytree (``tile`` is
+    a zero-byte shape marker), so the vag factory always agrees with the
+    padding.
+    """
     import math
 
     if quantize is not None:
@@ -269,7 +278,9 @@ def prepare_fused_linear_data(
         "Xp": Xp,
         "yp": yp,
         "ll_norm": jnp.asarray(ll_norm, jnp.float32),
+        "inv_noise_var": jnp.asarray(1.0 / noise_scale**2, jnp.float32),
         "dim": jnp.zeros((d,), jnp.float32),
+        "tile": jnp.zeros((tile_n, 0), jnp.int8),
     }
 
 
@@ -349,6 +360,7 @@ def prepare_fused_logistic_data(
         "yp": yp,
         "pad_const": jnp.asarray((Xp.shape[0] - n) * np.log(2.0), jnp.float32),
         "dim": jnp.zeros((d,), jnp.float32),  # shape-only marker for d
+        "tile": jnp.zeros((tile_n, 0), jnp.int8),  # zero-byte tile marker
     }
     if col_scale is not None:
         data["col_scale"] = col_scale
@@ -387,7 +399,7 @@ def make_fused_logistic_vag(
         log_norm = -0.5 * d * math.log(2.0 * math.pi * prior_scale * prior_scale)
         return log_norm - 0.5 * inv_var * jnp.sum(z * z, axis=-1)
 
-    def _batched_from(Xp, yp, pad_const, d, Z, col_scale=None):
+    def _batched_from(Xp, yp, pad_const, d, Z, col_scale=None, call_tile_n=None):
         # int8 storage: X ~ Xq * diag(col_scale), so fold the scales into
         # the coefficients (s = Xq @ (c*z)) and back out of the gradient
         # (dll/dz = diag(c) Xq^T r).
@@ -400,7 +412,9 @@ def make_fused_logistic_vag(
             Bt = jnp.zeros((d_pad, c_pad), bt_dtype).at[:d, :c].set(
                 Z_eff.astype(bt_dtype).T
             )
-            ll_pad, g_pad = _fused_padded_call(Xp, yp, Bt, tile_n, False)
+            ll_pad, g_pad = _fused_padded_call(
+                Xp, yp, Bt, call_tile_n or tile_n, False
+            )
             ll = ll_pad[0, :c] + pad_const
             g = g_pad[:d, :c].T
         else:
@@ -422,6 +436,7 @@ def make_fused_logistic_vag(
             ll, g = _batched_from(
                 data["Xp"], data["yp"], data["pad_const"], d, z[None],
                 data.get("col_scale"),
+                call_tile_n=data["tile"].shape[0] if "tile" in data else None,
             )
             return ll[0], g[0]
 
@@ -432,6 +447,7 @@ def make_fused_logistic_vag(
             ll, g = _batched_from(
                 data["Xp"], data["yp"], data["pad_const"], d, Z,
                 data.get("col_scale"),
+                call_tile_n=data["tile"].shape[0] if "tile" in data else None,
             )
             return (ll, g), (True, True)
 

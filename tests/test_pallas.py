@@ -224,9 +224,7 @@ class TestLinearKernel:
                 Normal(0.0, 2.0).log_prob(z)
             )
 
-        vag = make_fused_linear_vag(
-            noise_scale=0.5, prior_scale=2.0, use_pallas=False
-        )
+        vag = make_fused_linear_vag(prior_scale=2.0, use_pallas=False)
         data = prepare_fused_linear_data(X, y, noise_scale=0.5, tile_n=128)
         ll, g = vag(z, data)
         ll_ref, g_ref = jax.value_and_grad(log_prob)(z)
@@ -248,8 +246,7 @@ class TestLinearKernel:
         beta_true = jax.random.normal(kz, (d,))
         y = X @ beta_true + jax.random.normal(ky, (n,))
 
-        vag = make_fused_linear_vag(noise_scale=1.0, prior_scale=1.0,
-                                    use_pallas=False)
+        vag = make_fused_linear_vag(prior_scale=1.0, use_pallas=False)
         data = prepare_fused_linear_data(X, y, tile_n=128)
 
         def log_prob(params, data):
@@ -274,4 +271,42 @@ class TestLinearKernel:
         with pytest.raises(ValueError, match="bf16"):
             prepare_fused_linear_data(
                 jnp.zeros((8, 4)), jnp.zeros(8), quantize="int8"
+            )
+
+
+    def test_linear_kernel_interpret_matches_reference(self):
+        # Execute the actual Pallas body (interpret mode) vs plain jnp.
+        from mlx_mcmc_tpu.ops.pallas.glm import fused_linear_value_and_grad
+
+        key = jax.random.PRNGKey(7)
+        kx, ky, kz = jax.random.split(key, 3)
+        n, d, c = 300, 17, 5
+        X = jax.random.normal(kx, (n, d), jnp.float32)
+        y = X @ jax.random.normal(kz, (d,)) + jax.random.normal(ky, (n,))
+        Z = 0.3 * jax.random.normal(kz, (c, d))
+        ll, g = fused_linear_value_and_grad(X, y, Z, tile_n=128, interpret=True)
+        s = Z @ X.T
+        r = y[None] - s
+        ll_ref = -0.5 * jnp.sum(r * r, axis=-1)
+        g_ref = r @ X
+        np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref), rtol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(g_ref), rtol=2e-4, atol=2e-4
+        )
+
+    def test_tile_mismatch_raises(self):
+        # prepare with tile 128, then force a call at tile 1024: must raise,
+        # not silently drop rows (regression test for the review finding).
+        from mlx_mcmc_tpu.ops.pallas.glm import (
+            _fused_padded_call,
+            prepare_fused_linear_data,
+        )
+
+        data = prepare_fused_linear_data(
+            jnp.zeros((257, 8)), jnp.zeros(257), tile_n=128
+        )
+        assert data["tile"].shape[0] == 128
+        with pytest.raises(ValueError, match="tile"):
+            _fused_padded_call(
+                data["Xp"], data["yp"], jnp.zeros((128, 128)), 1024, True
             )
