@@ -30,6 +30,10 @@ from mlx_mcmc_tpu.distributions import (
     Exponential,
     Categorical,
     Bernoulli,
+    Binomial,
+    NegativeBinomial,
+    Laplace,
+    Cauchy,
     Uniform,
     LogNormal,
     StudentT,
@@ -50,6 +54,10 @@ __all__ = [
     "Exponential",
     "Categorical",
     "Bernoulli",
+    "Binomial",
+    "NegativeBinomial",
+    "Laplace",
+    "Cauchy",
     "Uniform",
     "LogNormal",
     "StudentT",

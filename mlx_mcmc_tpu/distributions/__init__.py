@@ -13,9 +13,13 @@ from mlx_mcmc_tpu.distributions.exponential import Exponential
 from mlx_mcmc_tpu.distributions.categorical import Categorical
 from mlx_mcmc_tpu.distributions.extras import (
     Bernoulli,
+    Binomial,
+    Cauchy,
     Dirichlet,
+    Laplace,
     LogNormal,
     MultivariateNormal,
+    NegativeBinomial,
     Poisson,
     StudentT,
     Uniform,
@@ -39,6 +43,10 @@ __all__ = [
     "Exponential",
     "Categorical",
     "Bernoulli",
+    "Binomial",
+    "NegativeBinomial",
+    "Laplace",
+    "Cauchy",
     "Uniform",
     "LogNormal",
     "StudentT",

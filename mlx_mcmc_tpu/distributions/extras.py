@@ -278,3 +278,158 @@ class MultivariateNormal(Distribution):
 
     def covariance(self):
         return self.scale_tril @ jnp.swapaxes(self.scale_tril, -1, -2)
+
+
+class Laplace(Distribution):
+    """Laplace (double exponential) with location/scale."""
+
+    def __init__(self, loc=0.0, scale=1.0):
+        self.loc = loc
+        self.scale = scale
+
+    @property
+    def batch_shape(self):
+        return jnp.broadcast_shapes(jnp.shape(self.loc), jnp.shape(self.scale))
+
+    def log_prob(self, value):
+        z = jnp.abs(jnp.asarray(value) - self.loc) / self.scale
+        return -z - jnp.log(2.0 * jnp.asarray(self.scale, jnp.result_type(float)))
+
+    def sample(self, key, shape=()):
+        out_shape = self._sample_shape(shape)
+        return self.loc + self.scale * jax.random.laplace(
+            key, out_shape, jnp.result_type(float)
+        )
+
+    def mean(self):
+        return jnp.broadcast_to(self.loc, self.batch_shape)
+
+    def variance(self):
+        return 2.0 * jnp.square(jnp.asarray(self.scale, jnp.result_type(float)))
+
+
+class Cauchy(Distribution):
+    """Cauchy with location/scale (undefined mean/variance)."""
+
+    def __init__(self, loc=0.0, scale=1.0):
+        self.loc = loc
+        self.scale = scale
+
+    @property
+    def batch_shape(self):
+        return jnp.broadcast_shapes(jnp.shape(self.loc), jnp.shape(self.scale))
+
+    def log_prob(self, value):
+        z = (jnp.asarray(value) - self.loc) / self.scale
+        return (
+            -jnp.log1p(z * z)
+            - jnp.log(jnp.asarray(self.scale, jnp.result_type(float)))
+            - math.log(math.pi)
+        )
+
+    def sample(self, key, shape=()):
+        out_shape = self._sample_shape(shape)
+        return self.loc + self.scale * jax.random.cauchy(
+            key, out_shape, jnp.result_type(float)
+        )
+
+    def median(self):
+        return jnp.broadcast_to(self.loc, self.batch_shape)
+
+
+class Binomial(Distribution):
+    """Binomial(total_count, probs): support {0..n}."""
+
+    def __init__(self, total_count, probs=None, logits=None):
+        if (probs is None) == (logits is None):
+            raise ValueError("Provide exactly one of `probs` or `logits`.")
+        self.total_count = total_count
+        if logits is not None:
+            self.logits = jnp.asarray(logits, jnp.result_type(float))
+        else:
+            p = jnp.asarray(probs, jnp.result_type(float))
+            self.logits = jnp.log(p) - jnp.log1p(-p)
+
+    @property
+    def probs(self):
+        return jax.nn.sigmoid(self.logits)
+
+    @property
+    def batch_shape(self):
+        return jnp.broadcast_shapes(
+            jnp.shape(self.total_count), jnp.shape(self.logits)
+        )
+
+    def log_prob(self, value):
+        value = jnp.asarray(value)
+        n = jnp.asarray(self.total_count, jnp.result_type(float))
+        k = jnp.where((value >= 0) & (value <= n), value, 0.0)
+        log_binom = gammaln(n + 1.0) - gammaln(k + 1.0) - gammaln(n - k + 1.0)
+        lp = log_binom + k * self.logits - n * jax.nn.softplus(self.logits)
+        valid = (value >= 0) & (value <= n) & (value == jnp.floor(value))
+        return jnp.where(valid, lp, -jnp.inf)
+
+    def sample(self, key, shape=()):
+        out_shape = self._sample_shape(shape)
+        return jax.random.binomial(
+            key,
+            jnp.asarray(self.total_count, jnp.result_type(float)),
+            self.probs,
+            shape=out_shape,
+        )
+
+    def mean(self):
+        return jnp.asarray(self.total_count, jnp.result_type(float)) * self.probs
+
+    def variance(self):
+        p = self.probs
+        return jnp.asarray(self.total_count, jnp.result_type(float)) * p * (1 - p)
+
+
+class NegativeBinomial(Distribution):
+    """Negative binomial: number of failures before ``total_count`` successes
+    with success probability ``probs`` (mean = n(1-p)/p)."""
+
+    def __init__(self, total_count, probs):
+        self.total_count = total_count
+        self.probs = probs
+
+    @property
+    def batch_shape(self):
+        return jnp.broadcast_shapes(
+            jnp.shape(self.total_count), jnp.shape(self.probs)
+        )
+
+    def log_prob(self, value):
+        value = jnp.asarray(value)
+        n = jnp.asarray(self.total_count, jnp.result_type(float))
+        p = jnp.asarray(self.probs, jnp.result_type(float))
+        k = jnp.where(value >= 0, value, 0.0)
+        lp = (
+            gammaln(k + n)
+            - gammaln(n)
+            - gammaln(k + 1.0)
+            + n * jnp.log(p)
+            + k * jnp.log1p(-p)
+        )
+        valid = (value >= 0) & (value == jnp.floor(value))
+        return jnp.where(valid, lp, -jnp.inf)
+
+    def sample(self, key, shape=()):
+        # Gamma-Poisson mixture: lambda ~ Gamma(n, p/(1-p)), k ~ Poisson(lambda).
+        out_shape = self._sample_shape(shape)
+        key_g, key_p = jax.random.split(key)
+        n = jnp.asarray(self.total_count, jnp.result_type(float))
+        p = jnp.asarray(self.probs, jnp.result_type(float))
+        lam = jax.random.gamma(key_g, n, out_shape) * (1.0 - p) / p
+        return jax.random.poisson(key_p, lam).astype(jnp.result_type(float))
+
+    def mean(self):
+        n = jnp.asarray(self.total_count, jnp.result_type(float))
+        p = jnp.asarray(self.probs, jnp.result_type(float))
+        return n * (1 - p) / p
+
+    def variance(self):
+        n = jnp.asarray(self.total_count, jnp.result_type(float))
+        p = jnp.asarray(self.probs, jnp.result_type(float))
+        return n * (1 - p) / (p * p)

@@ -120,3 +120,62 @@ class TestSampling:
             )
         )
         np.testing.assert_allclose(np.cov(xs.T), cov, atol=0.1)
+
+
+class TestNewBatch2:
+    """Laplace / Cauchy / Binomial / NegativeBinomial."""
+
+    @pytest.mark.parametrize("x", [-2.0, 0.5, 3.0])
+    def test_laplace_matches_scipy(self, x):
+        from mlx_mcmc_tpu import Laplace
+
+        lp = Laplace(0.5, 1.5).log_prob(x)
+        assert np.isclose(float(lp), sps.laplace(0.5, 1.5).logpdf(x), atol=1e-5)
+
+    @pytest.mark.parametrize("x", [-3.0, 0.0, 2.0])
+    def test_cauchy_matches_scipy(self, x):
+        from mlx_mcmc_tpu import Cauchy
+
+        lp = Cauchy(1.0, 2.0).log_prob(x)
+        assert np.isclose(float(lp), sps.cauchy(1.0, 2.0).logpdf(x), atol=1e-5)
+
+    @pytest.mark.parametrize("k", [0, 3, 10])
+    def test_binomial_matches_scipy(self, k):
+        from mlx_mcmc_tpu import Binomial
+
+        lp = Binomial(10, probs=0.3).log_prob(k)
+        assert np.isclose(float(lp), sps.binom(10, 0.3).logpmf(k), atol=1e-5)
+
+    def test_binomial_invalid(self):
+        from mlx_mcmc_tpu import Binomial
+
+        d = Binomial(5, probs=0.5)
+        assert float(d.log_prob(6)) == -np.inf
+        assert float(d.log_prob(-1)) == -np.inf
+        assert float(d.log_prob(2.5)) == -np.inf
+        with pytest.raises(ValueError):
+            Binomial(5)
+
+    @pytest.mark.parametrize("k", [0, 2, 7])
+    def test_negbinomial_matches_scipy(self, k):
+        from mlx_mcmc_tpu import NegativeBinomial
+
+        lp = NegativeBinomial(4.0, 0.4).log_prob(k)
+        assert np.isclose(float(lp), sps.nbinom(4, 0.4).logpmf(k), atol=1e-5)
+
+    def test_sampling_moments(self):
+        from mlx_mcmc_tpu import Binomial, Laplace, NegativeBinomial
+
+        for dist in [Laplace(1.0, 2.0), Binomial(20, probs=0.3),
+                     NegativeBinomial(5.0, 0.5)]:
+            xs = np.asarray(dist.sample(key(11), (N,)))
+            mean = float(dist.mean())
+            var = float(dist.variance())
+            assert abs(xs.mean() - mean) < 4 * math.sqrt(var / N) + 0.02
+            assert np.isclose(xs.var(), var, rtol=0.2)
+
+    def test_cauchy_sampling_median(self):
+        from mlx_mcmc_tpu import Cauchy
+
+        xs = np.asarray(Cauchy(2.0, 1.0).sample(key(12), (N,)))
+        assert abs(np.median(xs) - 2.0) < 0.1
