@@ -37,6 +37,16 @@ CONFIGS = {
         baseline_ess_per_sec=0.44, fused=False,
         label="min-ESS/sec/chip, NUTS 100-param logistic GLM (10K obs, 128 chains)",
     ),
+    # bf16 design matrix + fused Pallas value+grad, same posterior as glm100.
+    "glm100_fused": dict(
+        num_features=100, num_obs=10_000, num_chains=128,
+        num_warmup=500, num_samples=500, max_tree_depth=8,
+        baseline_ess_per_sec=0.44, fused=True,
+        label=(
+            "min-ESS/sec/chip, NUTS 100-param logistic GLM "
+            "(10K obs, 128 chains, bf16 fused Pallas)"
+        ),
+    ),
     "glm1000": dict(
         num_features=1000, num_obs=100_000, num_chains=16,
         num_warmup=400, num_samples=400, max_tree_depth=8,
@@ -71,6 +81,8 @@ def main() -> None:
         sys.argv[1] if len(sys.argv) > 1 else "glm100"
     )
     cfg = CONFIGS[name]
+    if os.environ.get("BENCH_CHAINS"):  # chain-count sweeps without editing
+        cfg = dict(cfg, num_chains=int(os.environ["BENCH_CHAINS"]))
 
     spec = make_logistic_regression(
         num_features=cfg["num_features"], num_obs=cfg["num_obs"], seed=0

@@ -43,7 +43,13 @@ from mlx_mcmc_tpu.distributions import (
     make_transformed_logprob,
 )
 from mlx_mcmc_tpu.kernels import hmc, metropolis_hastings, nuts
-from mlx_mcmc_tpu.inference import MCMC, MCMCResult, sample
+from mlx_mcmc_tpu.inference import (
+    MCMC,
+    MCMCResult,
+    TemperedResult,
+    sample,
+    sample_tempered,
+)
 
 __all__ = [
     "Distribution",
@@ -71,4 +77,6 @@ __all__ = [
     "MCMC",
     "MCMCResult",
     "sample",
+    "TemperedResult",
+    "sample_tempered",
 ]

@@ -3,5 +3,19 @@
 from mlx_mcmc_tpu.inference.api import MCMCResult, sample
 from mlx_mcmc_tpu.inference.engine import build_sampler, make_kernel
 from mlx_mcmc_tpu.inference.mcmc import MCMC
+from mlx_mcmc_tpu.inference.tempered import (
+    TemperedResult,
+    geometric_ladder,
+    sample_tempered,
+)
 
-__all__ = ["MCMC", "MCMCResult", "sample", "build_sampler", "make_kernel"]
+__all__ = [
+    "MCMC",
+    "MCMCResult",
+    "sample",
+    "build_sampler",
+    "make_kernel",
+    "TemperedResult",
+    "geometric_ladder",
+    "sample_tempered",
+]

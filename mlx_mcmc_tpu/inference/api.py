@@ -133,7 +133,8 @@ def sample(
 ) -> MCMCResult:
     """Run compiled multi-chain MCMC against a dict-of-params model.
 
-    ``kernel`` is 'metropolis' | 'hmc' | 'nuts' | 'chees'. Kernel-specific
+    ``kernel`` is 'metropolis' | 'hmc' | 'nuts' | 'chees' | 'mala'.
+    Kernel-specific
     options pass through: ``num_leapfrog_steps`` (hmc), ``max_tree_depth``
     (nuts), ``max_leapfrog_steps`` (chees); also ``thin``, ``progress_every``,
     ``value_and_grad_fn``, ``init_inv_mass_diag``.

@@ -44,6 +44,7 @@ from mlx_mcmc_tpu.kernels.chees import (
     trajectory_update,
 )
 from mlx_mcmc_tpu.kernels.hmc import make_hmc_kernel
+from mlx_mcmc_tpu.kernels.mala import make_mala_kernel
 from mlx_mcmc_tpu.kernels.metropolis import make_metropolis_kernel
 from mlx_mcmc_tpu.kernels.nuts import make_nuts_kernel
 from mlx_mcmc_tpu.ops.math import WelfordState
@@ -53,6 +54,7 @@ _DEFAULT_TARGET_ACCEPT = {
     "hmc": 0.8,
     "nuts": 0.65,
     "chees": 0.651,  # harmonic-mean acceptance target of the ChEES paper
+    "mala": 0.574,  # optimal-scaling acceptance for Langevin proposals
 }
 
 
@@ -74,6 +76,11 @@ def make_kernel(kernel: str, flat_log_prob: Callable, **kwargs):
         return make_nuts_kernel(
             flat_log_prob,
             max_tree_depth=kwargs.get("max_tree_depth", 10),
+            value_and_grad_fn=kwargs.get("value_and_grad_fn"),
+        )
+    if kernel == "mala":
+        return make_mala_kernel(
+            flat_log_prob,
             value_and_grad_fn=kwargs.get("value_and_grad_fn"),
         )
     if kernel == "chees":

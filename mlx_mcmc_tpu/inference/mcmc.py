@@ -67,7 +67,7 @@ class MCMC:
         shards them across the device mesh with collective adaptation
         (hmc/nuts; requires num_chains divisible by the device count).
         """
-        if method not in ("metropolis", "hmc", "nuts", "chees"):
+        if method not in ("metropolis", "hmc", "nuts", "chees", "mala"):
             raise ValueError(f"Unknown sampling method: {method}")
         if chain_method not in ("vmap", "sharded"):
             raise ValueError(f"Unknown chain_method: {chain_method}")
