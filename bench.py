@@ -31,11 +31,14 @@ import time
 import numpy as np
 
 CONFIGS = {
+    # 256 chains beats 128 on v5e: the chain axis rides the MXU lane
+    # dimension, so doubling chains costs ~1.65x wall for 2x ESS
+    # (measured 19,592 vs 16,304 min-ESS/s).
     "glm100": dict(
-        num_features=100, num_obs=10_000, num_chains=128,
+        num_features=100, num_obs=10_000, num_chains=256,
         num_warmup=500, num_samples=500, max_tree_depth=8,
         baseline_ess_per_sec=0.44, fused=False,
-        label="min-ESS/sec/chip, NUTS 100-param logistic GLM (10K obs, 128 chains)",
+        label="min-ESS/sec/chip, NUTS 100-param logistic GLM (10K obs, {chains} chains)",
     ),
     # bf16 design matrix + fused Pallas value+grad, same posterior as glm100.
     "glm100_fused": dict(
@@ -83,6 +86,7 @@ def main() -> None:
     cfg = CONFIGS[name]
     if os.environ.get("BENCH_CHAINS"):  # chain-count sweeps without editing
         cfg = dict(cfg, num_chains=int(os.environ["BENCH_CHAINS"]))
+    cfg = dict(cfg, label=cfg["label"].format(chains=cfg["num_chains"]))
 
     spec = make_logistic_regression(
         num_features=cfg["num_features"], num_obs=cfg["num_obs"], seed=0

@@ -47,7 +47,10 @@ from mlx_mcmc_tpu.inference import (
     MCMC,
     MCMCResult,
     TemperedResult,
+    ADVIResult,
+    fit_advi,
     sample,
+    sample_ensemble,
     sample_tempered,
 )
 
@@ -79,4 +82,7 @@ __all__ = [
     "sample",
     "TemperedResult",
     "sample_tempered",
+    "ADVIResult",
+    "fit_advi",
+    "sample_ensemble",
 ]

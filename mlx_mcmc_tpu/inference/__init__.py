@@ -8,6 +8,8 @@ from mlx_mcmc_tpu.inference.tempered import (
     geometric_ladder,
     sample_tempered,
 )
+from mlx_mcmc_tpu.inference.vi import ADVIResult, fit_advi
+from mlx_mcmc_tpu.inference.ensemble import sample_ensemble
 
 __all__ = [
     "MCMC",
@@ -18,4 +20,7 @@ __all__ = [
     "TemperedResult",
     "geometric_ladder",
     "sample_tempered",
+    "ADVIResult",
+    "fit_advi",
+    "sample_ensemble",
 ]

@@ -143,8 +143,10 @@ def sample(
 
     ``data``: optional pytree passed as a runtime argument to a binary model
     ``log_prob_fn(params, data)`` — use for large datasets (closure constants
-    bloat compiled programs). ``init_strategy``: 'tile' (default) or 'map'
-    (per-chain Adam ascent to the typical set before warmup).
+    bloat compiled programs). ``init_strategy``: 'tile' (default), 'map'
+    (per-chain Adam ascent to the typical set before warmup), or 'advi'
+    (mean-field VI fit; chains start from q-draws with q's variances as the
+    initial mass matrix — see ``inference/vi.py``).
 
     ``transforms`` maps parameter names to unconstraining transforms (names
     like 'log'/'logit'/'simplex' or Transform instances): those parameters
@@ -207,20 +209,7 @@ def sample(
         z0_batched = None
     dim = z0.shape[0]
 
-    run = build_sampler(
-        flat_log_prob,
-        dim,
-        kernel=kernel,
-        num_warmup=num_warmup,
-        num_samples=num_samples,
-        step_size=step_size,
-        adapt_step_size=adapt_step_size,
-        adapt_mass_matrix=adapt_mass_matrix,
-        target_accept=target_accept,
-        **kernel_kwargs,
-    )
-
-    if init_strategy not in ("tile", "map"):
+    if init_strategy not in ("tile", "map", "advi"):
         raise ValueError(f"Unknown init_strategy: {init_strategy!r}")
 
     key = _as_key(seed)
@@ -243,6 +232,30 @@ def sample(
                 jitter=jitter if jitter > 0 else 1.0, data=d,
             )
         )(z0_batch, key_init, data)
+    elif init_strategy == "advi":
+        # Warm start: chain positions drawn from a fitted mean-field q and
+        # q's variances as the initial diagonal inverse mass matrix.
+        from mlx_mcmc_tpu.inference.vi import advi_initialize
+
+        z0_batch, advi_inv_mass = advi_initialize(
+            flat_log_prob, z0_batch, key_init, data=data
+        )
+        if kernel != "metropolis" and "init_inv_mass_diag" not in kernel_kwargs:
+            kernel_kwargs["init_inv_mass_diag"] = advi_inv_mass
+
+    run = build_sampler(
+        flat_log_prob,
+        dim,
+        kernel=kernel,
+        num_warmup=num_warmup,
+        num_samples=num_samples,
+        step_size=step_size,
+        adapt_step_size=adapt_step_size,
+        adapt_mass_matrix=adapt_mass_matrix,
+        target_accept=target_accept,
+        **kernel_kwargs,
+    )
+
     chain_keys = make_chain_keys(key_run, num_chains)
     result: ChainResult = jax.jit(run)(chain_keys, z0_batch, data)
 

@@ -58,16 +58,18 @@ class MCMC:
     ) -> Dict[str, np.ndarray]:
         """Run MCMC sampling; returns {name: np.ndarray of draws}.
 
-        ``method``: 'metropolis' | 'hmc' | 'nuts'. Extra kwargs forward to the
+        ``method``: 'metropolis' | 'hmc' | 'nuts' (reference parity) or
+        'chees' | 'mala' | 'ensemble' (beyond). Extra kwargs forward to the
         kernel: ``step_size``, ``num_leapfrog_steps``, ``adapt_step_size``,
         ``target_accept`` (hmc); ``step_size``, ``max_tree_depth``,
-        ``adapt_step_size``, ``target_accept`` (nuts).
+        ``adapt_step_size``, ``target_accept`` (nuts); ``a``, ``transforms``
+        (ensemble, where ``num_chains`` is the walker count).
 
         ``chain_method``: 'vmap' batches all chains on one device; 'sharded'
         shards them across the device mesh with collective adaptation
         (hmc/nuts; requires num_chains divisible by the device count).
         """
-        if method not in ("metropolis", "hmc", "nuts", "chees", "mala"):
+        if method not in ("metropolis", "hmc", "nuts", "chees", "mala", "ensemble"):
             raise ValueError(f"Unknown sampling method: {method}")
         if chain_method not in ("vmap", "sharded"):
             raise ValueError(f"Unknown chain_method: {chain_method}")
@@ -106,7 +108,23 @@ class MCMC:
                   f"{num_warmup} warmup + {num_samples} draws)")
             print("=" * 70)
 
-        if method == "metropolis":
+        if method == "ensemble":
+            # Affine-invariant stretch move: num_chains names the walker
+            # count (even, >= 4; default bumped to the sampler's minimum
+            # useful ensemble when the caller left it at 1).
+            from mlx_mcmc_tpu.inference.ensemble import sample_ensemble
+
+            result = sample_ensemble(
+                self.log_prob_fn,
+                initial_params,
+                num_walkers=num_chains if num_chains > 1 else 64,
+                num_samples=num_samples,
+                num_warmup=num_warmup,
+                seed=random_seed,
+                jitter=jitter if jitter > 0 else 0.1,
+                **kwargs,
+            )
+        elif method == "metropolis":
             # Facade-managed warmup: run, restart from last warmup state with
             # seed+1 (reference mcmc.py:145-178). No adaptation, parity.
             start = initial_params

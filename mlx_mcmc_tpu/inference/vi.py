@@ -1,0 +1,275 @@
+"""ADVI: automatic differentiation variational inference (mean-field).
+
+The reference has no variational inference at all (SURVEY.md §2 — kernels
+are MH/HMC/NUTS only, mlx_mcmc/kernels/*). This module adds a fully
+compiled mean-field Gaussian ADVI fit:
+
+    q(z) = N(mu, diag(exp(log_sigma)^2))   over the flat parameter vector
+
+maximized by reparameterized stochastic gradients of the ELBO under one
+``jit``: a single ``lax.scan`` over Adam steps, ``vmap`` over Monte-Carlo
+samples. No host round-trips inside the loop — the TPU analog of the
+reference's host-loop pathology fix, applied to VI.
+
+Two uses:
+1. Standalone: ``fit_advi(log_prob, initial_params) -> ADVIResult`` with
+   ``sample_posterior``/``summary`` mirroring the MCMC result surface.
+2. Warm start: ``sample(..., init_strategy='advi')`` draws the chains'
+   starting points from the fitted q and seeds the diagonal mass matrix
+   with q's variances — warmup starts in the typical set with a
+   near-correct metric instead of from a point mass.
+
+Gradient estimator: "sticking the landing" (Roeder et al., 2017) — the
+entropy term enters through the sampled path only (``stop_gradient`` on
+the variational parameters inside log q), which makes the estimator's
+variance vanish as q approaches a local optimum.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mlx_mcmc_tpu.ops.ravel import make_flat_logprob
+
+_LOG_2PI = float(np.log(2.0 * np.pi))
+
+
+def fit_advi_flat(
+    flat_log_prob: Callable[[jnp.ndarray], jnp.ndarray],
+    z0: jnp.ndarray,
+    key,
+    *,
+    num_steps: int = 1000,
+    num_mc_samples: int = 8,
+    learning_rate: float = 0.05,
+    init_log_sigma: float = -1.0,
+    data=None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fit a mean-field Gaussian to a flat log-density.
+
+    Returns ``(mu, log_sigma, elbo_trace)`` — all device arrays; the whole
+    optimization is one compiled scan.
+
+    Non-finite gradients (a Monte-Carlo draw landing outside the support of
+    a constrained model) are zeroed per-step rather than poisoning Adam's
+    moment estimates.
+    """
+    import optax
+
+    if data is not None:
+        base_lp = flat_log_prob
+        flat_log_prob = lambda z: base_lp(z, data)  # noqa: E731
+
+    z0 = jnp.asarray(z0, jnp.float32)
+    dim = z0.shape[0]
+    mu0 = z0
+    log_sigma0 = jnp.full((dim,), init_log_sigma, jnp.float32)
+
+    def neg_elbo(var_params, eps):
+        mu, log_sigma = var_params
+        sigma = jnp.exp(log_sigma)
+        z = mu + sigma * eps  # (M, D) reparameterized draws
+        logp = jax.vmap(flat_log_prob)(z)
+        # Sticking the landing: score q at stop_gradient'ed variational
+        # params so only the path derivative flows — zero-variance at optima.
+        mu_s = jax.lax.stop_gradient(mu)
+        ls_s = jax.lax.stop_gradient(log_sigma)
+        logq = jnp.sum(
+            -0.5 * ((z - mu_s) * jnp.exp(-ls_s)) ** 2 - ls_s - 0.5 * _LOG_2PI,
+            axis=-1,
+        )
+        return -jnp.mean(logp - logq)
+
+    opt = optax.adam(learning_rate)
+    grad_fn = jax.value_and_grad(neg_elbo)
+
+    def body(carry, t):
+        var_params, opt_state = carry
+        eps = jax.random.normal(
+            jax.random.fold_in(key, t), (num_mc_samples, dim), jnp.float32
+        )
+        loss, grads = grad_fn(var_params, eps)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads
+        )
+        updates, opt_state = opt.update(grads, opt_state, var_params)
+        var_params = optax.apply_updates(var_params, updates)
+        return (var_params, opt_state), -loss
+
+    var_params0 = (mu0, log_sigma0)
+
+    def fit(var_params0):
+        (var_params, _), elbo_trace = jax.lax.scan(
+            body,
+            (var_params0, opt.init(var_params0)),
+            jnp.arange(num_steps, dtype=jnp.int32),
+        )
+        return var_params, elbo_trace
+
+    (mu, log_sigma), elbo_trace = jax.jit(fit)(var_params0)
+    return mu, log_sigma, elbo_trace
+
+
+@dataclass
+class ADVIResult:
+    """Fitted mean-field posterior approximation.
+
+    ``mu``/``log_sigma`` parameterize q over the *flat, unconstrained*
+    vector; ``sample_posterior`` maps draws back to the user's dict of
+    (constrained) parameters.
+    """
+
+    mu: jnp.ndarray
+    log_sigma: jnp.ndarray
+    elbo_trace: jnp.ndarray
+    _unravel: Callable[[jnp.ndarray], Any] = field(repr=False)
+    _to_constrained: Optional[Callable[[Any], Any]] = field(
+        default=None, repr=False
+    )
+
+    @property
+    def elbo(self) -> float:
+        """Final-step ELBO estimate."""
+        return float(self.elbo_trace[-1])
+
+    def sample_posterior(self, seed=0, num_samples: int = 1000) -> Dict[str, Any]:
+        """Draw ``num_samples`` from q, returned as the model's param dict
+        (constrained space if the fit used transforms)."""
+        key = (
+            jax.random.PRNGKey(seed)
+            if isinstance(seed, (int, np.integer))
+            else seed
+        )
+        eps = jax.random.normal(
+            key, (num_samples,) + self.mu.shape, self.mu.dtype
+        )
+        z = self.mu + jnp.exp(self.log_sigma) * eps
+        samples = jax.vmap(self._unravel)(z)
+        if self._to_constrained is not None:
+            samples = self._to_constrained(samples)
+        return samples
+
+    def posterior_mean(self) -> Dict[str, Any]:
+        """q's mean, mapped through unravel (NOTE: for transformed params
+        this is the push-forward of the unconstrained mean, i.e. the
+        constrained-space *median*, not the mean)."""
+        mean = self._unravel(self.mu)
+        if self._to_constrained is not None:
+            mean = self._to_constrained(mean)
+        return mean
+
+    def summary(self, seed=0, num_samples: int = 4000) -> Dict[str, Dict[str, float]]:
+        """Moment summary of q via Monte Carlo (exact for untransformed
+        params; MC for transformed ones), matching the MCMC summary keys."""
+        from mlx_mcmc_tpu.diagnostics.stats import summary_stats
+
+        draws = self.sample_posterior(seed, num_samples)
+        out: Dict[str, Dict[str, float]] = {}
+        for k, v in draws.items():
+            arr = np.asarray(v)[None, ...]  # (1 "chain", draws, *event)
+            if arr.ndim == 2:
+                out[k] = summary_stats(arr, 0.95)
+            else:
+                flat_event = arr.reshape(1, arr.shape[1], -1)
+                for i in range(flat_event.shape[-1]):
+                    out[f"{k}[{i}]"] = summary_stats(flat_event[..., i], 0.95)
+        return out
+
+
+def fit_advi(
+    log_prob_fn: Callable[..., jnp.ndarray],
+    initial_params: Any,
+    *,
+    num_steps: int = 1000,
+    num_mc_samples: int = 8,
+    learning_rate: float = 0.05,
+    seed=0,
+    data=None,
+    transforms: Optional[dict] = None,
+) -> ADVIResult:
+    """Fit mean-field ADVI against a dict-of-params model.
+
+    Same model contract as :func:`mlx_mcmc_tpu.sample` — dict-of-params
+    ``log_prob`` (optionally binary with ``data``), optional unconstraining
+    ``transforms`` (the Gaussian q lives in unconstrained space; draws are
+    returned constrained).
+    """
+    key = (
+        jax.random.PRNGKey(seed) if isinstance(seed, (int, np.integer)) else seed
+    )
+    to_constrained = None
+    if transforms:
+        from mlx_mcmc_tpu.distributions.transforms import (
+            make_transformed_logprob,
+        )
+
+        log_prob_fn, to_constrained, to_unconstrained = make_transformed_logprob(
+            log_prob_fn, transforms, data_aware=data is not None
+        )
+        initial_params = to_unconstrained(
+            jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, jnp.result_type(float)), initial_params
+            )
+        )
+    flat_log_prob, z0, unravel = make_flat_logprob(
+        log_prob_fn, initial_params, data_aware=data is not None
+    )
+    mu, log_sigma, elbo_trace = fit_advi_flat(
+        flat_log_prob,
+        z0,
+        key,
+        num_steps=num_steps,
+        num_mc_samples=num_mc_samples,
+        learning_rate=learning_rate,
+        data=data,
+    )
+    return ADVIResult(
+        mu=mu,
+        log_sigma=log_sigma,
+        elbo_trace=elbo_trace,
+        _unravel=unravel,
+        _to_constrained=to_constrained,
+    )
+
+
+def advi_initialize(
+    flat_log_prob: Callable[..., jnp.ndarray],
+    z0_batch: jnp.ndarray,
+    key,
+    *,
+    num_steps: int = 500,
+    num_mc_samples: int = 8,
+    learning_rate: float = 0.05,
+    data=None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Chain-initialization hook for ``sample(..., init_strategy='advi')``.
+
+    Fits q from the (single) user init, then returns
+    ``(z0_batch', inv_mass_diag)``: per-chain starts drawn from q and q's
+    variances as the initial diagonal inverse mass matrix — warmup begins in
+    the typical set with a near-correct metric. Falls back to the original
+    starts for any chain whose draw lands outside the support.
+    """
+    key_fit, key_draw = jax.random.split(key)
+    mu, log_sigma, _ = fit_advi_flat(
+        flat_log_prob,
+        z0_batch[0],
+        key_fit,
+        num_steps=num_steps,
+        num_mc_samples=num_mc_samples,
+        learning_rate=learning_rate,
+        data=data,
+    )
+    eps = jax.random.normal(key_draw, z0_batch.shape, z0_batch.dtype)
+    starts = mu + jnp.exp(log_sigma) * eps
+    lp_fn = flat_log_prob if data is None else (lambda z: flat_log_prob(z, data))
+    lp = jax.jit(jax.vmap(lp_fn))(starts)
+    ok = jnp.isfinite(lp)
+    z0_new = jnp.where(ok[:, None], starts, z0_batch)
+    inv_mass_diag = jnp.exp(2.0 * log_sigma)
+    return z0_new, inv_mass_diag
