@@ -12,6 +12,12 @@ from mlx_mcmc_tpu.diagnostics.stats import (
     summary_stats,
 )
 from mlx_mcmc_tpu.diagnostics.device import device_ess, device_rhat
+from mlx_mcmc_tpu.diagnostics.model_comparison import (
+    compare,
+    pointwise_log_likelihood,
+    psis_loo,
+    waic,
+)
 
 __all__ = [
     "effective_sample_size",
@@ -19,4 +25,8 @@ __all__ = [
     "summary_stats",
     "device_ess",
     "device_rhat",
+    "compare",
+    "pointwise_log_likelihood",
+    "psis_loo",
+    "waic",
 ]
