@@ -33,9 +33,10 @@ import numpy as np
 CONFIGS = {
     # Wide chain batches win on v5e: the chain axis rides the MXU lane
     # dimension, so ESS grows linearly with chains while wall grows slowly
-    # (measured min-ESS/s: 16,304 @128 / 19,592 @256 / 30,538 @512).
+    # (measured min-ESS/s: 16,304 @128 / 19,592 @256 / 30,538 @512 /
+    # 54,714 @1024).
     "glm100": dict(
-        num_features=100, num_obs=10_000, num_chains=512,
+        num_features=100, num_obs=10_000, num_chains=1024,
         num_warmup=500, num_samples=500, max_tree_depth=8,
         baseline_ess_per_sec=0.44, fused=False,
         label="min-ESS/sec/chip, NUTS 100-param logistic GLM (10K obs, {chains} chains)",

@@ -49,8 +49,10 @@ from mlx_mcmc_tpu.inference import (
     TemperedResult,
     ADVIResult,
     fit_advi,
+    SMCResult,
     sample,
     sample_ensemble,
+    sample_smc,
     sample_tempered,
 )
 
@@ -85,4 +87,6 @@ __all__ = [
     "ADVIResult",
     "fit_advi",
     "sample_ensemble",
+    "SMCResult",
+    "sample_smc",
 ]

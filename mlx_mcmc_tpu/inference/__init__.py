@@ -10,6 +10,7 @@ from mlx_mcmc_tpu.inference.tempered import (
 )
 from mlx_mcmc_tpu.inference.vi import ADVIResult, fit_advi
 from mlx_mcmc_tpu.inference.ensemble import sample_ensemble
+from mlx_mcmc_tpu.inference.smc import SMCResult, sample_smc
 
 __all__ = [
     "MCMC",
@@ -23,4 +24,6 @@ __all__ = [
     "ADVIResult",
     "fit_advi",
     "sample_ensemble",
+    "SMCResult",
+    "sample_smc",
 ]
