@@ -51,6 +51,7 @@ from mlx_mcmc_tpu.inference import (
     fit_advi,
     SMCResult,
     sample,
+    sample_posterior_predictive,
     sample_ensemble,
     sample_smc,
     sample_tempered,
@@ -82,6 +83,7 @@ __all__ = [
     "MCMC",
     "MCMCResult",
     "sample",
+    "sample_posterior_predictive",
     "TemperedResult",
     "sample_tempered",
     "ADVIResult",

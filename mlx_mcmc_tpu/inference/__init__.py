@@ -1,6 +1,10 @@
 """Inference layer: compiled engine, functional API, and the MCMC facade."""
 
-from mlx_mcmc_tpu.inference.api import MCMCResult, sample
+from mlx_mcmc_tpu.inference.api import (
+    MCMCResult,
+    sample,
+    sample_posterior_predictive,
+)
 from mlx_mcmc_tpu.inference.engine import build_sampler, make_kernel
 from mlx_mcmc_tpu.inference.mcmc import MCMC
 from mlx_mcmc_tpu.inference.tempered import (
@@ -16,6 +20,7 @@ __all__ = [
     "MCMC",
     "MCMCResult",
     "sample",
+    "sample_posterior_predictive",
     "build_sampler",
     "make_kernel",
     "TemperedResult",

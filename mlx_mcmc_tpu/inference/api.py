@@ -270,3 +270,40 @@ def sample(
         num_samples=num_samples,
         kernel=kernel,
     )
+
+
+def sample_posterior_predictive(
+    predictive_fn: Callable[..., Any],
+    samples: Dict[str, jnp.ndarray],
+    seed=0,
+    data=None,
+) -> Dict[str, Any]:
+    """Draw from the posterior predictive: run a user predictive function at
+    every posterior draw, under one jit.
+
+    Args:
+        predictive_fn: ``(key, params) -> pytree of simulated data`` (or
+            ``(key, params, data)`` when ``data`` is given) — typically the
+            likelihood's ``sample``, e.g.
+            ``lambda key, p: Normal(p['mu'], p['sigma']).sample(key, (n,))``.
+        samples: dict of (chains, draws, *event) posterior draws
+            (``MCMCResult.samples``).
+        seed: int seed or PRNG key; each (chain, draw) gets a folded key so
+            results are layout-invariant and reproducible.
+
+    Returns:
+        pytree of arrays shaped (chains, draws, *sim_shape) — on device.
+    """
+    key = _as_key(seed)
+    some_leaf = jax.tree_util.tree_leaves(samples)[0]
+    num_chains, num_draws = some_leaf.shape[:2]
+    keys = jax.vmap(
+        lambda c: jax.vmap(
+            lambda d: jax.random.fold_in(jax.random.fold_in(key, c), d)
+        )(jnp.arange(num_draws))
+    )(jnp.arange(num_chains))
+    if data is not None:
+        fn = lambda k, p: predictive_fn(k, p, data)  # noqa: E731
+    else:
+        fn = predictive_fn
+    return jax.jit(jax.vmap(jax.vmap(fn)))(keys, samples)
