@@ -32,11 +32,11 @@ import numpy as np
 
 CONFIGS = {
     # Wide chain batches win on v5e: the chain axis rides the MXU lane
-    # dimension, so ESS grows linearly with chains while wall grows slowly
-    # (measured min-ESS/s: 16,304 @128 / 19,592 @256 / 30,538 @512 /
-    # 54,714 @1024).
+    # dimension, so ESS grows linearly with chains while wall grows slowly.
+    # Measured min-ESS/s with on-device ESS: 107,370 @1024 / 170,413 @2048
+    # / 262,373 @4096 (host-fetch ESS: 16,304 @128 / 54,714 @1024).
     "glm100": dict(
-        num_features=100, num_obs=10_000, num_chains=1024,
+        num_features=100, num_obs=10_000, num_chains=4096,
         num_warmup=500, num_samples=500, max_tree_depth=8,
         baseline_ess_per_sec=0.44, fused=False,
         label="min-ESS/sec/chip, NUTS 100-param logistic GLM (10K obs, {chains} chains)",
@@ -145,17 +145,35 @@ def main() -> None:
             **extra,
         )
 
+    # ESS on device by default: only the (D,) statistics cross the tunnel.
+    # Fetching the full (chains, draws, D) draw tensor costs more than the
+    # sampling itself at wide chain counts (205MB at 1024 chains); the
+    # traced device_ess has numpy-identical semantics (tests/test_diagnostics).
+    # BENCH_HOST_ESS=1 restores the fetch-everything path.
+    host_ess = bool(os.environ.get("BENCH_HOST_ESS"))
+    if not host_ess:
+        import jax as _jax
+        from mlx_mcmc_tpu.diagnostics.device import device_ess
+
+        ess_fn = _jax.jit(device_ess)
+
     # Warm the compile cache, then time a fresh run end-to-end (warmup +
     # sampling; ESS counted over post-warmup draws only).
     result = run(0)
-    np.asarray(result.samples["beta"]).ravel()[0]  # force completion
+    if host_ess:
+        np.asarray(result.samples["beta"]).ravel()[0]  # force completion
+    else:
+        np.asarray(ess_fn(result.samples["beta"]))  # warm ESS compile too
 
     t0 = time.time()
     result = run(1)
-    draws = np.asarray(result.samples["beta"])  # (chains, draws, D)
-    wall = time.time() - t0
-
-    ess = effective_sample_size(draws)  # (D,)
+    if host_ess:
+        draws = np.asarray(result.samples["beta"])  # (chains, draws, D)
+        wall = time.time() - t0
+        ess = effective_sample_size(draws)  # (D,)
+    else:
+        ess = np.asarray(ess_fn(result.samples["beta"]))  # (D,) fetch only
+        wall = time.time() - t0
     min_ess = float(np.min(ess))
     ess_per_sec = min_ess / wall
 
@@ -177,6 +195,7 @@ def main() -> None:
                     "mean_tree_depth": round(
                         float(np.asarray(result.info.tree_depth).mean()), 2
                     ),
+                    "ess_backend": "host" if host_ess else "device",
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -115,13 +115,104 @@ def fit_advi_flat(
     return mu, log_sigma, elbo_trace
 
 
+def fit_advi_fullrank_flat(
+    flat_log_prob: Callable[[jnp.ndarray], jnp.ndarray],
+    z0: jnp.ndarray,
+    key,
+    *,
+    num_steps: int = 1000,
+    num_mc_samples: int = 8,
+    learning_rate: float = 0.05,
+    init_log_sigma: float = -1.0,
+    data=None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full-rank Gaussian ADVI: q(z) = N(mu, L Lᵀ), L lower-triangular with
+    softplus-positive diagonal.
+
+    Captures posterior correlations the mean-field family cannot (its
+    marginal variances shrink as 1-ρ² on correlated targets). Cost per step
+    is O(D²) parameters and one (M, D)·(D, D) matmul — MXU-friendly; use
+    for D up to a few thousand.
+
+    Returns ``(mu, scale_tril, elbo_trace)``.
+    """
+    import optax
+
+    if data is not None:
+        base_lp = flat_log_prob
+        flat_log_prob = lambda z: base_lp(z, data)  # noqa: E731
+
+    z0 = jnp.asarray(z0, jnp.float32)
+    dim = z0.shape[0]
+    # raw params: packed lower triangle; diagonal passes through softplus
+    tril_idx = jnp.tril_indices(dim)
+    diag_slot = jnp.arange(dim)
+
+    def build_L(raw_diag, raw_off):
+        L = jnp.zeros((dim, dim), jnp.float32).at[tril_idx].set(raw_off)
+        return L.at[diag_slot, diag_slot].set(jax.nn.softplus(raw_diag))
+
+    sigma0 = float(np.exp(init_log_sigma))
+    raw_diag0 = jnp.full((dim,), np.log(np.expm1(sigma0)), jnp.float32)
+    # packed lower triangle incl. diagonal slots (which build_L overwrites)
+    raw_off0 = jnp.zeros((dim * (dim + 1)) // 2, jnp.float32)
+
+    def neg_elbo(var_params, eps):
+        mu, raw_diag, raw_off = var_params
+        L = build_L(raw_diag, raw_off)
+        z = mu + eps @ L.T  # (M, D)
+        logp = jax.vmap(flat_log_prob)(z)
+        # sticking-the-landing: log q at stop_grad'ed variational params
+        mu_s = jax.lax.stop_gradient(mu)
+        L_s = jax.lax.stop_gradient(L)
+        diff = z - mu_s
+        y = jax.scipy.linalg.solve_triangular(L_s, diff.T, lower=True).T
+        logq = (
+            -0.5 * jnp.sum(y**2, axis=-1)
+            - jnp.sum(jnp.log(jnp.diag(L_s)))
+            - 0.5 * dim * _LOG_2PI
+        )
+        return -jnp.mean(logp - logq)
+
+    opt = optax.adam(learning_rate)
+    grad_fn = jax.value_and_grad(neg_elbo)
+
+    def body(carry, t):
+        var_params, opt_state = carry
+        eps = jax.random.normal(
+            jax.random.fold_in(key, t), (num_mc_samples, dim), jnp.float32
+        )
+        loss, grads = grad_fn(var_params, eps)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads
+        )
+        updates, opt_state = opt.update(grads, opt_state, var_params)
+        var_params = optax.apply_updates(var_params, updates)
+        return (var_params, opt_state), -loss
+
+    var_params0 = (z0, raw_diag0, raw_off0)
+
+    def fit(var_params0):
+        (var_params, _), elbo_trace = jax.lax.scan(
+            body,
+            (var_params0, opt.init(var_params0)),
+            jnp.arange(num_steps, dtype=jnp.int32),
+        )
+        mu, raw_diag, raw_off = var_params
+        return mu, build_L(raw_diag, raw_off), elbo_trace
+
+    mu, scale_tril, elbo_trace = jax.jit(fit)(var_params0)
+    return mu, scale_tril, elbo_trace
+
+
 @dataclass
 class ADVIResult:
-    """Fitted mean-field posterior approximation.
+    """Fitted Gaussian posterior approximation (mean-field or full-rank).
 
-    ``mu``/``log_sigma`` parameterize q over the *flat, unconstrained*
-    vector; ``sample_posterior`` maps draws back to the user's dict of
-    (constrained) parameters.
+    ``mu`` is q's mean over the *flat, unconstrained* vector. Mean-field
+    fits carry ``log_sigma``; full-rank fits carry ``scale_tril`` (the
+    Cholesky factor of q's covariance). ``sample_posterior`` maps draws
+    back to the user's dict of (constrained) parameters.
     """
 
     mu: jnp.ndarray
@@ -131,6 +222,7 @@ class ADVIResult:
     _to_constrained: Optional[Callable[[Any], Any]] = field(
         default=None, repr=False
     )
+    scale_tril: Optional[jnp.ndarray] = None  # full-rank fits only
 
     @property
     def elbo(self) -> float:
@@ -148,7 +240,10 @@ class ADVIResult:
         eps = jax.random.normal(
             key, (num_samples,) + self.mu.shape, self.mu.dtype
         )
-        z = self.mu + jnp.exp(self.log_sigma) * eps
+        if self.scale_tril is not None:
+            z = self.mu + eps @ self.scale_tril.T
+        else:
+            z = self.mu + jnp.exp(self.log_sigma) * eps
         samples = jax.vmap(self._unravel)(z)
         if self._to_constrained is not None:
             samples = self._to_constrained(samples)
@@ -185,6 +280,7 @@ def fit_advi(
     log_prob_fn: Callable[..., jnp.ndarray],
     initial_params: Any,
     *,
+    method: str = "meanfield",
     num_steps: int = 1000,
     num_mc_samples: int = 8,
     learning_rate: float = 0.05,
@@ -192,13 +288,19 @@ def fit_advi(
     data=None,
     transforms: Optional[dict] = None,
 ) -> ADVIResult:
-    """Fit mean-field ADVI against a dict-of-params model.
+    """Fit ADVI against a dict-of-params model.
 
     Same model contract as :func:`mlx_mcmc_tpu.sample` — dict-of-params
     ``log_prob`` (optionally binary with ``data``), optional unconstraining
     ``transforms`` (the Gaussian q lives in unconstrained space; draws are
     returned constrained).
+
+    ``method``: 'meanfield' (diagonal q — fast, shrinks correlated
+    marginals) or 'fullrank' (Cholesky-parameterized dense covariance —
+    O(D²) parameters, exact on Gaussian targets).
     """
+    if method not in ("meanfield", "fullrank"):
+        raise ValueError(f"Unknown ADVI method: {method!r}")
     key = (
         jax.random.PRNGKey(seed) if isinstance(seed, (int, np.integer)) else seed
     )
@@ -219,21 +321,31 @@ def fit_advi(
     flat_log_prob, z0, unravel = make_flat_logprob(
         log_prob_fn, initial_params, data_aware=data is not None
     )
-    mu, log_sigma, elbo_trace = fit_advi_flat(
-        flat_log_prob,
-        z0,
-        key,
+    fit_kwargs = dict(
         num_steps=num_steps,
         num_mc_samples=num_mc_samples,
         learning_rate=learning_rate,
         data=data,
     )
+    if method == "fullrank":
+        mu, scale_tril, elbo_trace = fit_advi_fullrank_flat(
+            flat_log_prob, z0, key, **fit_kwargs
+        )
+        # marginal stds = row norms of L (so posterior_stddev-style
+        # consumers keep working on full-rank fits)
+        log_sigma = 0.5 * jnp.log(jnp.sum(scale_tril**2, axis=1))
+    else:
+        mu, log_sigma, elbo_trace = fit_advi_flat(
+            flat_log_prob, z0, key, **fit_kwargs
+        )
+        scale_tril = None
     return ADVIResult(
         mu=mu,
         log_sigma=log_sigma,
         elbo_trace=elbo_trace,
         _unravel=unravel,
         _to_constrained=to_constrained,
+        scale_tril=scale_tril,
     )
 
 

@@ -8,6 +8,7 @@ capability with the same analytic-check style as the distribution tier.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mlx_mcmc_tpu import HalfNormal, Normal, fit_advi, sample
 from mlx_mcmc_tpu.inference.vi import advi_initialize, fit_advi_flat
@@ -151,3 +152,44 @@ class TestADVIInitStrategy:
         assert abs(mu_draws.mean() - data_np.mean()) < 0.2
         assert abs(sigma_draws.mean() - data_np.std()) < 0.4
         assert (sigma_draws > 0).all()
+
+
+class TestFullRankADVI:
+    def test_recovers_correlation_meanfield_cannot(self):
+        rho = 0.9
+        cov = np.array([[1.0, rho], [rho, 1.0]])
+        prec = jnp.asarray(np.linalg.inv(cov), jnp.float32)
+
+        def log_prob(params):
+            x = params["x"]
+            return -0.5 * x @ prec @ x
+
+        mf = fit_advi(
+            log_prob, {"x": jnp.zeros(2)}, num_steps=1500, seed=0
+        )
+        fr = fit_advi(
+            log_prob, {"x": jnp.zeros(2)}, num_steps=2500, seed=0,
+            method="fullrank",
+        )
+        mf_draws = np.asarray(mf.sample_posterior(seed=1, num_samples=6000)["x"])
+        fr_draws = np.asarray(fr.sample_posterior(seed=1, num_samples=6000)["x"])
+        # mean-field provably shrinks: marginal std ~ sqrt(1-rho^2) = 0.44
+        assert mf_draws.std(axis=0).max() < 0.7
+        # full-rank contains the truth: std ~ 1, corr ~ rho
+        np.testing.assert_allclose(fr_draws.std(axis=0), 1.0, rtol=0.15)
+        assert np.corrcoef(fr_draws.T)[0, 1] > 0.75
+        # and its ELBO is strictly better (less KL to the target)
+        assert fr.elbo > mf.elbo + 0.1
+
+    def test_fullrank_transformed_and_validation(self):
+        def log_prob(params):
+            return HalfNormal(2.0).log_prob(params["s"])
+
+        res = fit_advi(
+            log_prob, {"s": 1.0}, num_steps=800, seed=0,
+            method="fullrank", transforms={"s": "log"},
+        )
+        draws = np.asarray(res.sample_posterior(seed=1, num_samples=2000)["s"])
+        assert (draws > 0).all()
+        with pytest.raises(ValueError):
+            fit_advi(log_prob, {"s": 1.0}, method="bogus")
