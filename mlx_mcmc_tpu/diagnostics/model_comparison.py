@@ -133,6 +133,11 @@ def psis_loo(log_lik: np.ndarray) -> Dict[str, Any]:
     lw = lw - np.max(lw, axis=0, keepdims=True)
 
     n_tail = max(int(np.ceil(min(0.2 * S, 3.0 * np.sqrt(S)))), 5)
+    if S <= n_tail:
+        raise ValueError(
+            f"need more posterior draws for PSIS: got S={S} total draws, "
+            f"but the Pareto tail fit needs more than n_tail={n_tail}"
+        )
     elpd_i = np.empty(N)
     ks = np.empty(N)
     for i in range(N):

@@ -240,7 +240,9 @@ def sample(
         z0_batch, advi_inv_mass = advi_initialize(
             flat_log_prob, z0_batch, key_init, data=data
         )
-        if kernel != "metropolis" and "init_inv_mass_diag" not in kernel_kwargs:
+        # All kernels benefit: metropolis shapes its proposal by
+        # sqrt(inv_mass_diag) too (kernels/base.py Tunables contract).
+        if "init_inv_mass_diag" not in kernel_kwargs:
             kernel_kwargs["init_inv_mass_diag"] = advi_inv_mass
 
     run = build_sampler(

@@ -365,13 +365,22 @@ def build_sampler(
 
         else:
             # Keep every `thin`-th draw: an inner scan advances the chain,
-            # only the block's last state/info are stored.
+            # only the block's last state/info are stored — except counters
+            # and flags that must aggregate across the whole block (a thinned
+            # block can contain divergent transitions whose draws are
+            # discarded; dropping the flag would undercount divergences).
             def sample_body(states, t0):
                 ts = t0 + jnp.arange(thin, dtype=jnp.int32)
                 states, infos = jax.lax.scan(
                     lambda st, t: _one_step(st, t), states, ts
                 )
                 info_last = jax.tree_util.tree_map(lambda x: x[-1], infos)
+                info_last = info_last._replace(
+                    is_divergent=jnp.any(infos.is_divergent, axis=0),
+                    num_integration_steps=jnp.sum(
+                        infos.num_integration_steps, axis=0
+                    ),
+                )
                 _maybe_report("sample", t0, info_last, tunables.step_size)
                 return states, (states.position, info_last)
 

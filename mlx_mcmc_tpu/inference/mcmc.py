@@ -222,14 +222,20 @@ class MCMC:
         plus n_eff / r_hat columns)."""
         summary = self.summary(credible_interval)
         ci_pct = int(credible_interval * 100)
+        # Percentile key names as emitted by diagnostics.stats.summary_stats
+        # (looked up by name, not dict position — the reference extracts CI
+        # bounds positionally, mlx_mcmc/inference/mcmc.py:239-241, which
+        # breaks the moment the summary dict reorders).
+        alpha = 1 - credible_interval
+        lower_key = f"{100 * alpha / 2:.1f}%"
+        upper_key = f"{100 * (1 - alpha / 2):.1f}%"
         print("\nPosterior Summary:")
         print("=" * 96)
         print(f"{'Parameter':<15} {'Mean':<10} {'Std':<10} {'Median':<10} "
               f"{f'{ci_pct}% CI':<22} {'n_eff':<8} {'r_hat':<6}")
         print("-" * 96)
         for name, stats in summary.items():
-            keys = list(stats.keys())
-            ci_lower, ci_upper = stats[keys[3]], stats[keys[4]]
+            ci_lower, ci_upper = stats[lower_key], stats[upper_key]
             ci_str = f"[{ci_lower:.3f}, {ci_upper:.3f}]"
             print(f"{name:<15} {stats['mean']:<10.3f} {stats['std']:<10.3f} "
                   f"{stats['median']:<10.3f} {ci_str:<22} "

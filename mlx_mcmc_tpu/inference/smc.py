@@ -51,6 +51,7 @@ class SMCResult:
     num_stages: int
     final_accept_rate: float
     num_particles: int
+    final_beta: float = 1.0  # < 1.0 means the ladder hit max_stages early
     _flat: jnp.ndarray = field(repr=False, default=None)
 
 
@@ -239,17 +240,30 @@ def sample_smc(
         beta, particles, lp, lq, log_z, stages, acc, _ = jax.lax.while_loop(
             cond, body, state
         )
-        return particles, log_z, stages, acc
+        return particles, log_z, stages, acc, beta
 
-    particles_flat, log_z, stages, acc = jax.jit(run)(key, z0, data)
+    particles_flat, log_z, stages, acc, beta = jax.jit(run)(key, z0, data)
     particles = jax.vmap(unravel)(particles_flat)
     if to_constrained is not None:
         particles = to_constrained(particles)
+    final_beta = float(beta)
+    if final_beta < 1.0:
+        import warnings
+
+        warnings.warn(
+            f"tempered SMC hit max_stages={max_stages} at beta="
+            f"{final_beta:.4f} < 1.0: particles target an intermediate "
+            "tempered distribution, NOT the posterior. Raise max_stages or "
+            "lower ess_target.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return SMCResult(
         particles=particles,
         log_evidence=float(log_z),
         num_stages=int(stages),
         final_accept_rate=float(acc),
         num_particles=num_particles,
+        final_beta=final_beta,
         _flat=particles_flat,
     )

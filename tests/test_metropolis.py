@@ -124,3 +124,37 @@ class TestThinning:
         xs = np.asarray(res.samples["x"]).ravel()
         assert abs(xs.mean() - 2.0) < 0.12
         assert abs(xs.std() - 1.5) < 0.15
+
+    def test_thin_aggregates_divergences_and_steps(self):
+        """Thinning changes what is STORED, not the dynamics (per-step RNG is
+        fold_in(chain_key, global_t)), so a thin=5 run over the same step
+        range must report exactly the divergence count and total integration
+        steps of the dense run — divergences inside a thinned block must not
+        be silently dropped."""
+
+        def funnel(params):
+            # Neal's funnel: pathological geometry -> divergences at a fixed
+            # overlarge step size.
+            y, x = params["y"], params["x"]
+            return Normal(0.0, 3.0).log_prob(y) + jnp.sum(
+                Normal(0.0, jnp.exp(0.5 * y)).log_prob(x)
+            )
+
+        init = {"y": 0.0, "x": jnp.zeros(4)}
+        kwargs = dict(
+            num_warmup=0, num_chains=4, kernel="nuts", seed=3,
+            step_size=2.0, adapt_step_size=False, adapt_mass_matrix=False,
+            max_tree_depth=6,
+        )
+        dense = sample(funnel, init, num_samples=300, **kwargs)
+        thinned = sample(funnel, init, num_samples=60, thin=5, **kwargs)
+        assert dense.divergences > 0  # the target must actually diverge
+        # Thinned is_divergent flags each stored draw whose 5-step block
+        # contained any divergence: exactly the blockwise-OR of dense flags.
+        dense_flags = np.asarray(dense.info.is_divergent)  # (chains, 300)
+        block_any = dense_flags.reshape(dense_flags.shape[0], 60, 5).any(-1)
+        assert thinned.divergences == int(block_any.sum())
+        assert np.array_equal(np.asarray(thinned.info.is_divergent), block_any)
+        assert int(np.sum(np.asarray(thinned.info.num_integration_steps))) == int(
+            np.sum(np.asarray(dense.info.num_integration_steps))
+        )
