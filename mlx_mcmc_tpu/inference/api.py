@@ -25,6 +25,7 @@ from mlx_mcmc_tpu.inference.engine import (
     build_sampler,
     make_chain_keys,
     prepare_initial_positions,
+    resolve_step_size,
 )
 from mlx_mcmc_tpu.kernels.base import TransitionInfo, Tunables
 from mlx_mcmc_tpu.ops.ravel import make_flat_logprob
@@ -119,7 +120,7 @@ def sample(
     num_chains: int = 1,
     kernel: str = "nuts",
     seed=0,
-    step_size: float = 0.1,
+    step_size="auto",
     adapt_step_size: bool = True,
     adapt_mass_matrix: bool = True,
     target_accept: Optional[float] = None,
@@ -134,7 +135,10 @@ def sample(
     """Run compiled multi-chain MCMC against a dict-of-params model.
 
     ``kernel`` is 'metropolis' | 'hmc' | 'nuts' | 'chees' | 'mala'.
-    Kernel-specific
+    ``step_size`` defaults to 'auto': gradient kernels start warmup from a
+    Stan-style find-reasonable-step-size probe instead of a blind constant
+    (explicit floats still work; metropolis and adapt_step_size=False fall
+    back to 0.1). Kernel-specific
     options pass through: ``num_leapfrog_steps`` (hmc), ``max_tree_depth``
     (nuts), ``max_leapfrog_steps`` (chees); also ``thin``, ``progress_every``,
     ``value_and_grad_fn``, ``init_inv_mass_diag``.
@@ -211,6 +215,7 @@ def sample(
 
     if init_strategy not in ("tile", "map", "advi"):
         raise ValueError(f"Unknown init_strategy: {init_strategy!r}")
+    step_size = resolve_step_size(step_size, kernel, adapt_step_size)
 
     key = _as_key(seed)
     key_init, key_run = jax.random.split(key)

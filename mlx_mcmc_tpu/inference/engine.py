@@ -96,6 +96,24 @@ def default_target_accept(kernel: str) -> float:
     return _DEFAULT_TARGET_ACCEPT[kernel]
 
 
+def resolve_step_size(step_size, kernel: str, adapt_step_size: bool):
+    """Resolve the public ``step_size`` argument ('auto' is the default for
+    gradient kernels — Stan always runs find-reasonable-step-size; a blind
+    0.1 start wastes the fast warmup window on badly scaled targets).
+
+    Falls back to 0.1 where the one-leapfrog probe doesn't apply
+    (metropolis has no gradient; adapt_step_size=False pins the value).
+    """
+    if isinstance(step_size, str):
+        if step_size != "auto":
+            raise ValueError(
+                f"step_size must be a float or 'auto', got {step_size!r}"
+            )
+        if kernel in ("metropolis", "ensemble") or not adapt_step_size:
+            return 0.1
+    return step_size
+
+
 class ChainResult(NamedTuple):
     """Raw engine output, all device-resident.
 

@@ -26,6 +26,7 @@ from mlx_mcmc_tpu.inference.engine import (
     build_sampler,
     make_chain_keys,
     prepare_initial_positions,
+    resolve_step_size,
 )
 from mlx_mcmc_tpu.ops.ravel import make_flat_logprob
 from mlx_mcmc_tpu.parallel.mesh import chain_mesh
@@ -44,7 +45,7 @@ def sample_sharded(
     seed=0,
     mesh: Optional[Mesh] = None,
     axis: str = "chains",
-    step_size: float = 0.1,
+    step_size="auto",
     adapt_step_size: bool = True,
     adapt_mass_matrix: bool = True,
     target_accept: Optional[float] = None,
@@ -68,6 +69,7 @@ def sample_sharded(
     at run time to a binary model ``log_prob_fn(params, data)``; it is
     replicated across the chain axis.
     """
+    step_size = resolve_step_size(step_size, kernel, adapt_step_size)
     if mesh is None:
         mesh = chain_mesh()
     axis_size = mesh.shape[axis]

@@ -30,7 +30,9 @@ class SamplerConfig:
     num_samples: int = 1000
     num_warmup: int = 1000
     num_chains: int = 1
-    step_size: float = 0.1
+    # 'auto' = Stan-style find-reasonable-step-size probe for gradient
+    # kernels (resolved per-kernel by the engine; metropolis falls back 0.1)
+    step_size: object = "auto"
     num_leapfrog_steps: int = 10  # hmc only
     max_tree_depth: int = 10  # nuts only
     seed: int = 0

@@ -116,15 +116,49 @@ class TestAutoStepSize:
         # far below the nominal 1.0 probe start
         assert float(res.tunables.step_size) < 0.1
 
-    def test_auto_rejected_for_metropolis(self):
+    def test_auto_is_the_default_for_gradient_kernels(self):
+        # No step_size argument at all: the default must behave like 'auto'
+        # (Stan-style probe), not a blind 0.1 — on a 0.01-scale target the
+        # adapted step must land well below 0.1 with healthy acceptance.
+        scales = jnp.asarray([0.01, 0.01, 0.01])
+
+        def log_prob(params):
+            return jnp.sum(Normal(0.0, scales).log_prob(params["x"]))
+
+        res = sample(
+            log_prob,
+            {"x": jnp.zeros(3)},
+            num_samples=300,
+            num_warmup=500,
+            num_chains=2,
+            kernel="nuts",
+            seed=0,
+            adapt_mass_matrix=False,
+        )
+        accept = float(np.asarray(res.info.accept_prob).mean())
+        assert 0.5 < accept < 0.98
+        assert float(res.tunables.step_size) < 0.1
+
+    def test_auto_falls_back_for_metropolis_and_fixed_step(self):
+        # 'auto' is the universal default, so metropolis (no gradient probe)
+        # and adapt_step_size=False must silently resolve to the 0.1 constant.
+        from mlx_mcmc_tpu.inference.engine import resolve_step_size
+
+        assert resolve_step_size("auto", "metropolis", True) == 0.1
+        assert resolve_step_size("auto", "nuts", False) == 0.1
+        assert resolve_step_size("auto", "nuts", True) == "auto"
+        assert resolve_step_size(0.3, "metropolis", True) == 0.3
         import pytest
 
         with pytest.raises(ValueError, match="auto"):
-            sample(
-                lambda p: Normal(0.0, 1.0).log_prob(p["x"]),
-                {"x": 0.0},
-                num_samples=10,
-                num_warmup=10,
-                kernel="metropolis",
-                step_size="auto",
-            )
+            resolve_step_size("bogus", "nuts", True)
+
+        res = sample(
+            lambda p: Normal(0.0, 1.0).log_prob(p["x"]),
+            {"x": 0.0},
+            num_samples=50,
+            num_warmup=50,
+            kernel="metropolis",
+            seed=0,
+        )
+        assert np.isfinite(np.asarray(res.samples["x"])).all()
