@@ -73,6 +73,73 @@ CONFIGS = {
 }
 
 
+# Public single-chip peaks used for the MFU/roofline estimate in the bench
+# detail (bf16 matmul peak; the MXU computes f32 matmuls at bf16 operand
+# precision by default, so one peak covers both storage dtypes).
+_DEVICE_PEAKS = {
+    # device_kind substring: (peak TFLOP/s, HBM GB/s)
+    "v5 lite": (197.0, 819.0),
+    "v5e": (197.0, 819.0),
+    "v4": (275.0, 1228.0),
+    "v5p": (459.0, 2765.0),
+}
+
+
+def _device_peaks(device) -> tuple:
+    kind = getattr(device, "device_kind", "").lower()
+    for sub, peaks in _DEVICE_PEAKS.items():
+        if sub in kind:
+            return peaks
+    return (None, None)
+
+
+def _mfu_detail(result, cfg, data, wall: float, device) -> dict:
+    """Roofline accounting for the GLM value+grad hot op.
+
+    Counts only *useful* flops (per-chain true leapfrog counts summed from
+    ``num_integration_steps``; vmapped NUTS actually runs lockstep to the
+    slowest chain, so hardware utilization is >= this). Warmup leapfrogs are
+    not recorded (`collect_warmup=False`); they are estimated at the sampling
+    phase's mean steps/draw — flagged as an estimate in the output.
+    """
+    import numpy as np
+
+    steps = np.asarray(result.info.num_integration_steps, np.float64)
+    sampling_leapfrogs = float(steps.sum())  # sum over (chains, draws)
+    scale = 1.0 + cfg["num_warmup"] / cfg["num_samples"]
+    total_leapfrogs = sampling_leapfrogs * scale
+    if cfg["fused"]:
+        n_eff, d_eff = data["Xp"].shape  # padded dims: real kernel work
+        x_bytes = n_eff * d_eff * data["Xp"].dtype.itemsize
+    else:
+        n_eff, d_eff = data["X"].shape
+        x_bytes = n_eff * d_eff * data["X"].dtype.itemsize
+    # One value+grad = forward (N,D)@(D,) + backward X^T r: 4*N*D flops/chain.
+    flops = total_leapfrogs * 4.0 * n_eff * d_eff
+    achieved_tflops = flops / wall / 1e12
+    peak_tflops, hbm_gbs = _device_peaks(device)
+    out = {
+        "total_leapfrogs": int(total_leapfrogs),
+        "achieved_tflops": round(achieved_tflops, 2),
+        "flop_count": "useful (per-chain true tree sizes; warmup estimated)",
+    }
+    if peak_tflops:
+        # X is streamed once per *call* (all chains share the tile); the
+        # fused kernel reads it once per leapfrog, XLA's autodiff twice.
+        calls = total_leapfrogs / cfg["num_chains"]
+        bytes_total = calls * x_bytes * (1.0 if cfg["fused"] else 2.0)
+        ai = flops / max(bytes_total, 1.0)  # flops/byte
+        bound_tflops = min(peak_tflops, ai * hbm_gbs / 1e3)
+        out.update(
+            mfu_pct=round(100.0 * achieved_tflops / peak_tflops, 2),
+            roofline_bound_tflops=round(bound_tflops, 1),
+            roofline_frac_pct=round(100.0 * achieved_tflops / bound_tflops, 2),
+            arithmetic_intensity=round(ai, 1),
+            peak_tflops=peak_tflops,
+        )
+    return out
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -87,6 +154,8 @@ def main() -> None:
     cfg = CONFIGS[name]
     if os.environ.get("BENCH_CHAINS"):  # chain-count sweeps without editing
         cfg = dict(cfg, num_chains=int(os.environ["BENCH_CHAINS"]))
+    if os.environ.get("BENCH_TILE"):  # Pallas row-tile sweeps (fused configs)
+        cfg = dict(cfg, tile_n=int(os.environ["BENCH_TILE"]))
     cfg = dict(cfg, label=cfg["label"].format(chains=cfg["num_chains"]))
 
     spec = make_logistic_regression(
@@ -103,7 +172,8 @@ def main() -> None:
         )
 
         data = prepare_fused_logistic_data(
-            spec.X.astype(jnp.bfloat16), spec.y
+            spec.X.astype(jnp.bfloat16), spec.y,
+            tile_n=cfg.get("tile_n", 1024),
         )
         extra["value_and_grad_fn"] = make_fused_logistic_vag(
             prior_scale=1.0, data_aware=True
@@ -197,6 +267,9 @@ def main() -> None:
                     ),
                     "ess_backend": "host" if host_ess else "device",
                     "device": str(jax.devices()[0]),
+                    "roofline": _mfu_detail(
+                        result, cfg, data, wall, jax.devices()[0]
+                    ),
                 },
             }
         )

@@ -121,12 +121,17 @@ class ChainResult(NamedTuple):
     ``info``: TransitionInfo pytree with (chains, draws) leaves.
     ``final_tunables``: adapted step size / inverse mass diagonal.
     ``final_state``: kernel state pytree with leading chain axis (for resume).
+    ``final_adapt``/``final_traj``: raw adaptation pytrees at the end of the
+    executed warmup segment — everything a mid-warmup checkpoint needs
+    (io/checkpoint.py); ``final_traj`` is () except for chees.
     """
 
     positions: jnp.ndarray
     info: TransitionInfo
     final_tunables: Tunables
     final_state: Any
+    final_adapt: Any = ()
+    final_traj: Any = ()
 
 
 def _welford_pmean_reduce(axis_name: str):

@@ -198,12 +198,18 @@ def fused_linear_value_and_grad(
 def make_fused_linear_vag(
     prior_scale: float = 1.0,
     use_pallas: bool | None = None,
+    include_prior: bool = True,
 ):
     """``value_and_grad`` of a Gaussian linear-regression log-posterior
     (N(0, prior_scale) prior), data-aware: ``vag(z, data)`` with ``data``
     from :func:`prepare_fused_linear_data` — which carries the noise scale
     and tile size, so they cannot silently disagree with the factory.
-    Same custom_vmap chain-batching as the logistic kernel."""
+    Same custom_vmap chain-batching as the logistic kernel.
+
+    ``include_prior=False`` returns likelihood-only terms — required for
+    data-sharded sampling (``sample_sharded(..., data_axis=...)``), where the
+    framework psums the local likelihood contributions and adds the prior
+    once via ``log_prior_fn``."""
     import math
 
     if use_pallas is None:
@@ -235,6 +241,8 @@ def make_fused_linear_vag(
         inv_noise_var = data["inv_noise_var"]
         ll = ll * inv_noise_var + data["ll_norm"]
         g = g * inv_noise_var
+        if not include_prior:
+            return ll, g
         d_f = float(d)
         log_prior_norm = -0.5 * d_f * math.log(2.0 * math.pi * prior_scale**2)
         ll = ll + log_prior_norm - 0.5 * inv_prior_var * jnp.sum(Z * Z, axis=-1)
@@ -328,8 +336,23 @@ def _reference_value_and_grad(X, y, Z):
     return jax.vmap(jax.value_and_grad(one))(Z)
 
 
+def fused_data_specs(data: dict, data_axis: str):
+    """PartitionSpec tree for a fused-GLM data pytree under observation
+    sharding (``sample_sharded(..., data_axis=..., data_specs=...)``): the
+    row-major operands (``Xp``, ``yp``) shard their leading axis; the
+    scalar/marker leaves (``pad_const``, ``dim``, ``tile``, ``col_scale``)
+    replicate — the default leading-axis heuristic would wrongly shard the
+    shape markers."""
+    from jax.sharding import PartitionSpec as P
+
+    return {
+        k: (P(data_axis) if k in ("Xp", "yp") else P()) for k in data
+    }
+
+
 def prepare_fused_logistic_data(
-    X, y, tile_n: int = _DEFAULT_TILE_N, quantize: str | None = None
+    X, y, tile_n: int = _DEFAULT_TILE_N, quantize: str | None = None,
+    num_shards: int = 1,
 ) -> dict:
     """One-time packing of a logistic-GLM dataset for the fused kernel.
 
@@ -343,6 +366,11 @@ def prepare_fused_logistic_data(
     f32). X ~ Xq * scale[col]; the scales fold into the coefficients, so
     sampling targets the posterior of the quantized design — a model-level
     rounding like bf16, one rung coarser.
+
+    ``num_shards``: for data-sharded sampling set this to the data-axis size.
+    Row padding is rounded up to ``num_shards * tile_n`` (each shard's local
+    rows stay a tile multiple) and the pad-row correction constant is divided
+    by ``num_shards`` — the psum over shards then adds it back exactly once.
     """
     X = jnp.asarray(X)
     n, d = X.shape
@@ -354,11 +382,15 @@ def prepare_fused_logistic_data(
         X = jnp.clip(jnp.round(Xf / col_scale), -127, 127).astype(jnp.int8)
     elif quantize is not None:
         raise ValueError(f"unknown quantize mode: {quantize!r}")
-    Xp, yp = _pad_data(X, jnp.asarray(y), tile_n)
+    Xp, yp = _pad_data(X, jnp.asarray(y), tile_n * num_shards)
     data = {
         "Xp": Xp,
         "yp": yp,
-        "pad_const": jnp.asarray((Xp.shape[0] - n) * np.log(2.0), jnp.float32),
+        # Divided by num_shards: under observation sharding every shard adds
+        # this scalar before the psum, which multiplies it back.
+        "pad_const": jnp.asarray(
+            (Xp.shape[0] - n) * np.log(2.0) / num_shards, jnp.float32
+        ),
         "dim": jnp.zeros((d,), jnp.float32),  # shape-only marker for d
         "tile": jnp.zeros((tile_n, 0), jnp.int8),  # zero-byte tile marker
     }
@@ -374,10 +406,13 @@ def make_fused_logistic_vag(
     tile_n: int = _DEFAULT_TILE_N,
     use_pallas: bool | None = None,
     data_aware: bool = False,
+    include_prior: bool = True,
 ) -> Callable:
     """Build ``value_and_grad`` of the full logistic log-posterior
     (likelihood + N(0, prior_scale) prior), with a custom_vmap rule that
     routes the engine's chain-vmap into the batched fused kernel.
+    ``include_prior=False`` returns likelihood-only terms (for data-sharded
+    sampling, where the prior is added once outside the psum).
 
     Two modes:
     - closure mode (default): pass ``X``/``y`` here; returns ``vag(z)``.
@@ -426,6 +461,8 @@ def make_fused_logistic_vag(
             ll = ll + pad_const
         if col_scale is not None:
             g = g * col_scale
+        if not include_prior:
+            return ll, g
         return ll + _prior(Z, d), g - inv_var * Z
 
     if data_aware:
@@ -465,6 +502,8 @@ def make_fused_logistic_vag(
         if use_pallas:
             return _batched_from(Xp, yp, pad_const, d, Z)
         ll, g = _reference_value_and_grad(X, y, Z)
+        if not include_prior:
+            return ll, g
         return ll + _prior(Z, d), g - inv_var * Z
 
     @jax.custom_batching.custom_vmap

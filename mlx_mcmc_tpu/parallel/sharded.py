@@ -11,6 +11,16 @@ size and mass matrix exactly as a single-device run would compute them.
 Because per-chain RNG is keyed by *global* chain index (engine
 ``make_chain_keys``), a sharded run is bit-identical to the equivalent
 single-device vmapped run.
+
+Observation sharding (SURVEY.md §5.7; reference README.md:105-113 "Large
+model" row): with ``data_axis`` set, the dataset is additionally sharded over
+a second mesh axis and every log-density (and fused value+grad) evaluation
+reduces the shard-local likelihood contributions with an in-loop
+``lax.psum`` — the MCMC analog of tensor/sequence parallelism, for datasets
+that exceed one chip's HBM. Only statically-scheduled kernels are allowed on
+the data axis (hmc/chees/mala/metropolis): a collective inside NUTS's
+data-dependent tree loop would let collective counts diverge across chain
+rows, which deadlocks collective matching (XLA CPU deadlocks outright).
 """
 
 from __future__ import annotations
@@ -52,6 +62,9 @@ def sample_sharded(
     jitter: float = 0.0,
     device_diagnostics: bool = False,
     data=None,
+    data_axis: Optional[str] = None,
+    data_specs=None,
+    log_prior_fn: Optional[Callable[[Any], jnp.ndarray]] = None,
     **kernel_kwargs,
 ) -> MCMCResult:
     """Run chains sharded over ``mesh[axis]`` with collective adaptation.
@@ -68,6 +81,21 @@ def sample_sharded(
     ``data`` follows the ``sample(..., data=...)`` protocol: a pytree passed
     at run time to a binary model ``log_prob_fn(params, data)``; it is
     replicated across the chain axis.
+
+    ``data_axis`` names a second mesh axis to shard the *observations* over
+    (pass a 2-D mesh, e.g. :func:`mlx_mcmc_tpu.parallel.data_chain_mesh`).
+    The model contract changes: ``log_prob_fn(params, data)`` must return the
+    shard-LOCAL log-likelihood contribution (the sum over its slice of
+    observations) and the prior moves to ``log_prior_fn(params)`` so it is
+    counted once, not once per shard; the engine psums the local terms every
+    gradient/energy evaluation. The same contract applies to a fused
+    ``value_and_grad_fn`` (build it with ``include_prior=False``).
+    ``data_specs`` optionally gives per-leaf PartitionSpecs for ``data``; by
+    default every non-scalar leaf shards its leading axis.
+
+    Kernels with data-dependent collective schedules (nuts) are rejected on
+    the data axis — use hmc/chees/mala, whose static trip counts keep the
+    psum schedule identical on every device.
     """
     step_size = resolve_step_size(step_size, kernel, adapt_step_size)
     if mesh is None:
@@ -79,10 +107,63 @@ def sample_sharded(
             f"'{axis}' of size {axis_size}"
         )
 
+    if data_axis is not None:
+        if data is None:
+            raise ValueError("data_axis requires data=... to shard")
+        if data_axis not in mesh.shape:
+            raise ValueError(
+                f"data_axis {data_axis!r} not in mesh axes {tuple(mesh.shape)}"
+            )
+        if kernel == "nuts":
+            raise ValueError(
+                "kernel='nuts' cannot be data-sharded: its tree loop has a "
+                "data-dependent trip count, so the per-leapfrog psum count "
+                "would diverge across chain rows and deadlock collective "
+                "matching. Use 'hmc' or 'chees' (static integration "
+                "schedules) with data_axis."
+            )
+        user_log_prob = log_prob_fn
+
+        def log_prob_fn(params, shard):  # noqa: F811 - deliberate rebind
+            ll = jax.lax.psum(user_log_prob(params, shard), data_axis)
+            if log_prior_fn is not None:
+                ll = ll + log_prior_fn(params)
+            return ll
+
     flat_log_prob, z0, unravel = make_flat_logprob(
         log_prob_fn, initial_params, data_aware=data is not None
     )
     dim = z0.shape[0]
+
+    if data_axis is not None and kernel != "metropolis":
+        # Differentiating THROUGH the in-value psum is a footgun: with the
+        # varying-axes check off (check_vma=False below), JAX does not insert
+        # the pbroadcast whose transpose would psum the gradient, so
+        # jax.grad(psum(local)) silently returns only the shard-LOCAL
+        # gradient — each data shard would integrate different (wrong)
+        # trajectories. Gradient kernels therefore always get an explicit
+        # value_and_grad_fn that psums both the value and the gradient.
+        user_vag = kernel_kwargs.get("value_and_grad_fn")
+        if user_vag is None:
+            flat_local, _, _ = make_flat_logprob(
+                user_log_prob, initial_params, data_aware=True
+            )
+            user_vag = jax.value_and_grad(flat_local)
+        if log_prior_fn is not None:
+            prior_vag = jax.value_and_grad(
+                lambda z: jnp.asarray(log_prior_fn(unravel(z))).reshape(())
+            )
+
+        def sharded_vag(z, shard):
+            v, g = user_vag(z, shard)
+            v = jax.lax.psum(v, data_axis)
+            g = jax.lax.psum(g, data_axis)
+            if log_prior_fn is not None:
+                pv, pg = prior_vag(z)
+                v, g = v + pv, g + pg
+            return jnp.where(jnp.isnan(v), -jnp.inf, v), g
+
+        kernel_kwargs["value_and_grad_fn"] = sharded_vag
 
     run = build_sampler(
         flat_log_prob,
@@ -128,10 +209,22 @@ def sample_sharded(
             stats,
         )
 
+    if data_axis is None:
+        data_in_spec = P()
+    elif data_specs is not None:
+        data_in_spec = data_specs
+    else:
+        # Shard every non-scalar leaf's leading axis; replicate scalars.
+        # Pytrees carrying shape-marker leaves (e.g. the fused-GLM 'dim'
+        # marker) need explicit data_specs.
+        data_in_spec = jax.tree_util.tree_map(
+            lambda leaf: P(data_axis) if jnp.ndim(leaf) >= 1 else P(), data
+        )
+
     sharded = shard_map(
         shard_run,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P()),
+        in_specs=(P(axis), P(axis), data_in_spec),
         out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
         # Kernel while-loop carries mix shard-invariant literals with
         # shard-varying state; skip the varying-axes check rather than
