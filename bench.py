@@ -70,7 +70,123 @@ CONFIGS = {
             "(100K obs, 128 chains, bf16 fused Pallas)"
         ),
     ),
+    # BASELINE.md north-star scaling config: 1000-param non-centered
+    # hierarchical (mu + log_tau + 998 group effects, ~100K obs). The
+    # reference names this workload (README.md:105-113 "Large model",
+    # 30 min => ~0.03 ess/s) but ships no code for it.
+    "hier1000": dict(
+        family="hier", num_groups=998, obs_per_group=100,
+        num_chains=128, num_warmup=400, num_samples=400, max_tree_depth=10,
+        baseline_ess_per_sec=0.03, fused=False,
+        label=(
+            "min-ESS/sec/chip, NUTS 1000-param non-centered hierarchical "
+            "(99.8K obs, {chains} chains)"
+        ),
+    ),
+    # Funnel-geometry stress benchmark: centered eight schools. Reported
+    # alongside the friendly GLM so the headline is not flattered by
+    # well-conditioned geometry alone; divergence counts are the point.
+    "funnel8": dict(
+        family="funnel", num_chains=1024, num_warmup=500, num_samples=500,
+        max_tree_depth=10, baseline_ess_per_sec=None, fused=False,
+        label=(
+            "min-ESS/sec/chip, NUTS centered eight-schools funnel "
+            "({chains} chains)"
+        ),
+    ),
 }
+
+
+def build_problem(cfg):
+    """Return (log_prob(params, data), initial_params, data, extra_kwargs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mlx_mcmc_tpu.distributions import Normal
+
+    family = cfg.get("family", "glm")
+    extra = {}
+    if family == "glm":
+        from mlx_mcmc_tpu.models import make_logistic_regression
+
+        spec = make_logistic_regression(
+            num_features=cfg["num_features"], num_obs=cfg["num_obs"], seed=0
+        )
+        if cfg["fused"]:
+            from mlx_mcmc_tpu.ops.pallas.glm import (
+                make_fused_logistic_vag,
+                prepare_fused_logistic_data,
+            )
+
+            data = prepare_fused_logistic_data(
+                spec.X.astype(jnp.bfloat16), spec.y,
+                tile_n=cfg.get("tile_n", 1024),
+            )
+            extra["value_and_grad_fn"] = make_fused_logistic_vag(
+                prior_scale=1.0, data_aware=True
+            )
+
+            def log_prob(params, data):
+                # value path (init/energy): same density the fused vag computes
+                beta = params["beta"]
+                d = data["dim"].shape[0]
+                s = jnp.dot(
+                    data["Xp"][:, :d], beta.astype(data["Xp"].dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                ll = jnp.sum(data["yp"][:, 0] * s - jax.nn.softplus(s))
+                return (
+                    ll + data["pad_const"]
+                    + jnp.sum(Normal(0.0, 1.0).log_prob(beta))
+                )
+
+        else:
+            data = {"X": spec.X, "y": spec.y}
+
+            def log_prob(params, data):
+                beta = params["beta"]
+                s = jnp.dot(data["X"], beta, preferred_element_type=jnp.float32)
+                return jnp.sum(data["y"] * s - jax.nn.softplus(s)) + jnp.sum(
+                    Normal(0.0, 1.0).log_prob(beta)
+                )
+
+        return log_prob, spec.initial_params, data, extra
+
+    if family == "hier":
+        from mlx_mcmc_tpu.models import make_hierarchical_normal
+
+        spec = make_hierarchical_normal(
+            num_groups=cfg["num_groups"],
+            obs_per_group=cfg["obs_per_group"],
+            seed=0,
+        )
+        data = {"y": spec.y}  # (G, obs) — runtime arg, not closure constant
+
+        def log_prob(params, data):
+            mu, log_tau = params["mu"], params["log_tau"]
+            theta_raw = params["theta_raw"]
+            tau = jnp.exp(log_tau)
+            theta = mu + tau * theta_raw
+            lp = Normal(0.0, 5.0).log_prob(mu)
+            lp += Normal(0.0, 1.0).log_prob(log_tau)
+            lp += jnp.sum(Normal(0.0, 1.0).log_prob(theta_raw))
+            lp += jnp.sum(Normal(theta[:, None], 1.0).log_prob(data["y"]))
+            return lp
+
+        return log_prob, spec.initial_params, data, extra
+
+    if family == "funnel":
+        from mlx_mcmc_tpu.models import eight_schools
+
+        spec = eight_schools(centered=True)
+
+        def log_prob(params, data):
+            del data
+            return spec.log_prob(params)
+
+        return log_prob, spec.initial_params, {}, extra
+
+    raise ValueError(f"unknown family: {family!r}")
 
 
 # Public single-chip peaks used for the MFU/roofline estimate in the bench
@@ -140,13 +256,102 @@ def _mfu_detail(result, cfg, data, wall: float, device) -> dict:
     return out
 
 
-def main() -> None:
+def _bench_config(cfg, target_accept=0.8):
+    """Measure one config; returns (metrics dict, result) with warm compile
+    excluded and all statistics computed on device (only small vectors cross
+    the tunnel — BENCH_HOST_ESS=1 restores the fetch-everything path)."""
     import jax
-    import jax.numpy as jnp
-
     from mlx_mcmc_tpu import sample
     from mlx_mcmc_tpu.diagnostics import effective_sample_size
-    from mlx_mcmc_tpu.models import make_logistic_regression
+
+    log_prob, initial_params, data, extra = build_problem(cfg)
+
+    def run(seed):
+        return sample(
+            log_prob,
+            initial_params,
+            data=data,
+            num_samples=cfg["num_samples"],
+            num_warmup=cfg["num_warmup"],
+            num_chains=cfg["num_chains"],
+            kernel="nuts",
+            seed=seed,
+            max_tree_depth=cfg["max_tree_depth"],
+            target_accept=target_accept,
+            **extra,
+        )
+
+    host_ess = bool(os.environ.get("BENCH_HOST_ESS"))
+    if not host_ess:
+        import jax.numpy as jnp
+        from mlx_mcmc_tpu.diagnostics.device import device_ess
+
+        @jax.jit
+        def ess_fn(samples):
+            # min-ESS across EVERY parameter (not just the largest block).
+            return jnp.concatenate(
+                [
+                    device_ess(v.reshape(v.shape[0], v.shape[1], -1))
+                    for v in samples.values()
+                ]
+            )
+
+    def all_ess_host(samples):
+        return np.concatenate(
+            [
+                effective_sample_size(
+                    np.asarray(v).reshape(v.shape[0], v.shape[1], -1)
+                )
+                for v in samples.values()
+            ]
+        )
+
+    # Warm the compile cache, then time a fresh run end-to-end (warmup +
+    # sampling; ESS counted over post-warmup draws only).
+    result = run(0)
+    if host_ess:
+        np.asarray(next(iter(result.samples.values()))).ravel()[0]
+    else:
+        np.asarray(ess_fn(result.samples))  # warm ESS compile too
+
+    t0 = time.time()
+    result = run(1)
+    if host_ess:
+        samples = {k: np.asarray(v) for k, v in result.samples.items()}
+        wall = time.time() - t0
+        ess = all_ess_host(samples)
+    else:
+        ess = np.asarray(ess_fn(result.samples))  # small fetch only
+        wall = time.time() - t0
+    min_ess = float(np.min(ess))
+
+    metrics = {
+        "wall_seconds": round(wall, 2),
+        "min_ess": round(min_ess, 1),
+        "median_ess": round(float(np.median(ess)), 1),
+        "ess_per_sec": round(min_ess / wall, 2),
+        "divergences": result.divergences,
+        "divergence_rate": round(
+            result.divergences
+            / (cfg["num_chains"] * cfg["num_samples"]), 5
+        ),
+        "mean_accept": round(
+            float(np.asarray(result.info.accept_prob).mean()), 3
+        ),
+        "mean_tree_depth": round(
+            float(np.asarray(result.info.tree_depth).mean()), 2
+        ),
+        "ess_backend": "host" if host_ess else "device",
+    }
+    if cfg.get("family", "glm") == "glm":
+        metrics["roofline"] = _mfu_detail(
+            result, cfg, data, wall, jax.devices()[0]
+        )
+    return metrics, result
+
+
+def main() -> None:
+    import jax
 
     name = os.environ.get("BENCH_CONFIG") or (
         sys.argv[1] if len(sys.argv) > 1 else "glm100"
@@ -158,119 +363,32 @@ def main() -> None:
         cfg = dict(cfg, tile_n=int(os.environ["BENCH_TILE"]))
     cfg = dict(cfg, label=cfg["label"].format(chains=cfg["num_chains"]))
 
-    spec = make_logistic_regression(
-        num_features=cfg["num_features"], num_obs=cfg["num_obs"], seed=0
-    )
+    metrics, _ = _bench_config(cfg)
+    ess_per_sec = metrics.pop("ess_per_sec")
+    detail = dict(metrics, device=str(jax.devices()[0]))
 
-    from mlx_mcmc_tpu.distributions import Normal
+    # Alongside the friendly GLM flagship, always measure the funnel-geometry
+    # stress benchmark (centered eight schools) unless disabled — the
+    # divergence counts and funnel ESS keep the headline honest.
+    if cfg.get("family", "glm") == "glm" and not os.environ.get(
+        "BENCH_SKIP_FUNNEL"
+    ):
+        fcfg = dict(CONFIGS["funnel8"], num_chains=512, num_warmup=400,
+                    num_samples=400)
+        fmetrics, _ = _bench_config(fcfg, target_accept=0.9)
+        detail["funnel_eight_schools"] = fmetrics
 
-    extra = {}
-    if cfg["fused"]:
-        from mlx_mcmc_tpu.ops.pallas.glm import (
-            make_fused_logistic_vag,
-            prepare_fused_logistic_data,
-        )
-
-        data = prepare_fused_logistic_data(
-            spec.X.astype(jnp.bfloat16), spec.y,
-            tile_n=cfg.get("tile_n", 1024),
-        )
-        extra["value_and_grad_fn"] = make_fused_logistic_vag(
-            prior_scale=1.0, data_aware=True
-        )
-
-        def log_prob(params, data):
-            # value path (init/energy): same density the fused vag computes
-            beta = params["beta"]
-            d = data["dim"].shape[0]
-            s = jnp.dot(
-                data["Xp"][:, :d], beta.astype(data["Xp"].dtype),
-                preferred_element_type=jnp.float32,
-            )
-            ll = jnp.sum(data["yp"][:, 0] * s - jax.nn.softplus(s))
-            return ll + data["pad_const"] + jnp.sum(Normal(0.0, 1.0).log_prob(beta))
-
-    else:
-        data = {"X": spec.X, "y": spec.y}
-
-        def log_prob(params, data):
-            beta = params["beta"]
-            s = jnp.dot(data["X"], beta, preferred_element_type=jnp.float32)
-            return jnp.sum(data["y"] * s - jax.nn.softplus(s)) + jnp.sum(
-                Normal(0.0, 1.0).log_prob(beta)
-            )
-
-    def run(seed):
-        return sample(
-            log_prob,
-            {"beta": jnp.zeros(cfg["num_features"])},
-            data=data,
-            num_samples=cfg["num_samples"],
-            num_warmup=cfg["num_warmup"],
-            num_chains=cfg["num_chains"],
-            kernel="nuts",
-            seed=seed,
-            max_tree_depth=cfg["max_tree_depth"],
-            target_accept=0.8,
-            **extra,
-        )
-
-    # ESS on device by default: only the (D,) statistics cross the tunnel.
-    # Fetching the full (chains, draws, D) draw tensor costs more than the
-    # sampling itself at wide chain counts (205MB at 1024 chains); the
-    # traced device_ess has numpy-identical semantics (tests/test_diagnostics).
-    # BENCH_HOST_ESS=1 restores the fetch-everything path.
-    host_ess = bool(os.environ.get("BENCH_HOST_ESS"))
-    if not host_ess:
-        import jax as _jax
-        from mlx_mcmc_tpu.diagnostics.device import device_ess
-
-        ess_fn = _jax.jit(device_ess)
-
-    # Warm the compile cache, then time a fresh run end-to-end (warmup +
-    # sampling; ESS counted over post-warmup draws only).
-    result = run(0)
-    if host_ess:
-        np.asarray(result.samples["beta"]).ravel()[0]  # force completion
-    else:
-        np.asarray(ess_fn(result.samples["beta"]))  # warm ESS compile too
-
-    t0 = time.time()
-    result = run(1)
-    if host_ess:
-        draws = np.asarray(result.samples["beta"])  # (chains, draws, D)
-        wall = time.time() - t0
-        ess = effective_sample_size(draws)  # (D,)
-    else:
-        ess = np.asarray(ess_fn(result.samples["beta"]))  # (D,) fetch only
-        wall = time.time() - t0
-    min_ess = float(np.min(ess))
-    ess_per_sec = min_ess / wall
-
+    baseline = cfg["baseline_ess_per_sec"]
     print(
         json.dumps(
             {
                 "metric": cfg["label"],
                 "value": round(ess_per_sec, 2),
                 "unit": "ess/s",
-                "vs_baseline": round(ess_per_sec / cfg["baseline_ess_per_sec"], 1),
-                "detail": {
-                    "wall_seconds": round(wall, 2),
-                    "min_ess": round(min_ess, 1),
-                    "median_ess": round(float(np.median(ess)), 1),
-                    "divergences": result.divergences,
-                    "mean_accept": round(
-                        float(np.asarray(result.info.accept_prob).mean()), 3
-                    ),
-                    "mean_tree_depth": round(
-                        float(np.asarray(result.info.tree_depth).mean()), 2
-                    ),
-                    "ess_backend": "host" if host_ess else "device",
-                    "device": str(jax.devices()[0]),
-                    "roofline": _mfu_detail(
-                        result, cfg, data, wall, jax.devices()[0]
-                    ),
-                },
+                "vs_baseline": (
+                    round(ess_per_sec / baseline, 1) if baseline else None
+                ),
+                "detail": detail,
             }
         )
     )

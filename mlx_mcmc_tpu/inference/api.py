@@ -264,7 +264,7 @@ def sample(
     )
 
     chain_keys = make_chain_keys(key_run, num_chains)
-    result: ChainResult = jax.jit(run)(chain_keys, z0_batch, data)
+    result: ChainResult = jax.jit(run)(chain_keys, z0_batch, data, None, run.sched)
 
     samples = jax.vmap(jax.vmap(unravel))(result.positions)
     if to_constrained is not None:

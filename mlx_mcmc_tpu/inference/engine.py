@@ -164,6 +164,8 @@ def build_sampler(
     init_inv_mass_diag=None,
     progress_every: Optional[int] = None,
     progress_callback=None,
+    warmup_start: int = 0,
+    warmup_stop: Optional[int] = None,
     **kernel_kwargs,
 ) -> Callable[[jnp.ndarray, jnp.ndarray], ChainResult]:
     """Build a jittable ``run(key, z0_batch) -> ChainResult``.
@@ -171,6 +173,16 @@ def build_sampler(
     ``z0_batch`` has shape (chains, D); every scan and the chain vmap live in
     one traced function. ``axis_name`` names a mesh axis to additionally
     ``pmean`` adaptation statistics over (used by the sharded driver).
+
+    ``warmup_start``/``warmup_stop`` select a warmup *segment* ``[start,
+    stop)`` of the full ``num_warmup`` schedule (mid-warmup checkpoint/
+    resume, io/checkpoint.py). The schedule and all RNG keys are functions of
+    the global step index, so running ``[0, k)`` then ``[k, num_warmup)``
+    from the checkpointed adaptation state is bit-identical to one
+    uninterrupted run. With ``warmup_start > 0``, ``run`` must be called with
+    ``resume_state=(adapt, traj)`` (a prior segment's ``final_adapt``/
+    ``final_traj``) and the step-size probe is skipped. Set ``num_samples=0``
+    to stop after a partial warmup segment.
     """
     if target_accept is None:
         target_accept = default_target_accept(kernel)
@@ -183,9 +195,17 @@ def build_sampler(
             "adapt_step_size=True"
         )
 
+    if warmup_stop is None:
+        warmup_stop = num_warmup
+    if not (0 <= warmup_start <= warmup_stop <= num_warmup):
+        raise ValueError(
+            f"invalid warmup segment [{warmup_start}, {warmup_stop}) for "
+            f"num_warmup={num_warmup}"
+        )
+
     schedule = build_schedule(num_warmup, adapt_mass_matrix=adapt_mass_matrix)
-    in_slow = jnp.asarray(schedule.in_slow_window)
-    window_end = jnp.asarray(schedule.window_end)
+    in_slow = jnp.asarray(schedule.in_slow_window[warmup_start:warmup_stop])
+    window_end = jnp.asarray(schedule.window_end[warmup_start:warmup_stop])
 
     welford_reduce = _welford_pmean_reduce(axis_name) if axis_name else None
 
@@ -245,7 +265,8 @@ def build_sampler(
         )
 
     def run(
-        chain_keys: jnp.ndarray, z0_batch: jnp.ndarray, data=None
+        chain_keys: jnp.ndarray, z0_batch: jnp.ndarray, data=None,
+        resume_state=None, sched=None,
     ) -> ChainResult:
         """``chain_keys``: (chains_local,) PRNG keys, one per chain. Per-step
         keys are ``fold_in(chain_key, t)`` with a global step counter, so the
@@ -258,7 +279,18 @@ def build_sampler(
         Passing data as a runtime argument rather than a closure constant
         keeps multi-hundred-MB datasets out of the compiled program body
         (serialized-HLO bloat) and lets them carry shardings/donation.
+
+        ``sched``: the warmup flag arrays ``run.sched`` passed as *runtime*
+        arguments. As closure constants (the ``None`` default) XLA
+        constant-folds the window-end branch away in segments whose flags are
+        all-False, compiling numerically different programs — which breaks
+        bit-exact mid-warmup resume. Library callers always pass
+        ``run.sched`` through the jit boundary.
         """
+        if sched is not None:
+            in_slow_xs, window_end_xs = sched
+        else:
+            in_slow_xs, window_end_xs = in_slow, window_end
         if data is None:
             flp_bound, bound_kwargs = flat_log_prob, dict(kernel_kwargs)
         else:
@@ -270,7 +302,14 @@ def build_sampler(
         init_fn, step_fn = make_kernel(kernel, flp_bound, **bound_kwargs)
         states = jax.vmap(init_fn)(z0_batch)
 
-        if auto_step_size:
+        is_chees = kernel == "chees"
+        if resume_state is not None:
+            # Continue a prior segment: the checkpointed adaptation state
+            # replaces both the probe and adaptation_init.
+            adapt, traj = resume_state
+            if not is_chees:
+                traj = ()
+        elif auto_step_size:
             # Stan-style initialization: probe one leapfrog step across all
             # chains, doubling/halving eps until mean accept crosses 0.5.
             inv_mass0 = (
@@ -303,9 +342,14 @@ def build_sampler(
             eps_init = find_reasonable_step_size(accept_prob_fn)
         else:
             eps_init = step_size
-        adapt = adaptation_init(dim, eps_init, init_inv_mass_diag)
-        is_chees = kernel == "chees"
-        traj = trajectory_init(eps_init) if is_chees else ()
+        if resume_state is None:
+            if warmup_start > 0:
+                raise ValueError(
+                    "warmup_start > 0 requires resume_state=(adapt, traj) "
+                    "from the prior segment's ChainResult"
+                )
+            adapt = adaptation_init(dim, eps_init, init_inv_mass_diag)
+            traj = trajectory_init(eps_init) if is_chees else ()
         _pmean = (lambda x: jax.lax.pmean(x, axis_name)) if axis_name else None
 
         def _with_trajectory(tunables: Tunables, traj, t) -> Tunables:
@@ -319,7 +363,7 @@ def build_sampler(
             )
 
         warmup_collect = None
-        if num_warmup > 0:
+        if warmup_stop > warmup_start:
 
             def warmup_body(carry, xs):
                 states, adapt, traj = carry
@@ -353,9 +397,11 @@ def build_sampler(
                 out = (states.position, infos) if collect_warmup else None
                 return (states, adapt, traj), out
 
-            steps = jnp.arange(num_warmup, dtype=jnp.int32)
+            steps = jnp.arange(warmup_start, warmup_stop, dtype=jnp.int32)
             (states, adapt, traj), warmup_collect = jax.lax.scan(
-                warmup_body, (states, adapt, traj), (steps, in_slow, window_end)
+                warmup_body,
+                (states, adapt, traj),
+                (steps, in_slow_xs, window_end_xs),
             )
 
         tunables = _final_tunables(adapt)
@@ -423,11 +469,19 @@ def build_sampler(
             info=infos,
             final_tunables=tunables,
             final_state=states,
+            final_adapt=adapt,
+            final_traj=traj,
         )
         if collect_warmup:
             return result, warmup_collect
         return result
 
+    # The warmup flag arrays, for passing back through the jit boundary as
+    # runtime arguments (see the ``sched`` note in ``run``'s docstring).
+    run.sched = (
+        np.asarray(schedule.in_slow_window[warmup_start:warmup_stop]),
+        np.asarray(schedule.window_end[warmup_start:warmup_stop]),
+    )
     return run
 
 

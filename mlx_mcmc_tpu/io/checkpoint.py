@@ -1,15 +1,24 @@
-"""Sampler checkpoint/resume.
+"""Sampler checkpoint/resume — sampling phase AND mid-warmup.
 
-A checkpoint captures everything needed to continue drawing from where a run
-stopped: per-chain positions, the adapted tunables (step size, inverse mass
-diagonal), kernel name, and a draw counter for RNG continuation. Storage is
-Orbax when available, with a plain ``.npz`` fallback (both formats carry the
-same pytree).
+A sampling-phase checkpoint captures everything needed to continue drawing
+from where a run stopped: per-chain positions, the adapted tunables (step
+size, inverse mass diagonal), kernel name, and a draw counter for RNG
+continuation. Storage is Orbax when available, with a plain ``.npz`` fallback
+(both formats carry the same pytree).
 
-Resume semantics: adaptation is already frozen post-warmup, so a resumed run
-continues the *sampling phase* with the checkpointed tunables — equivalent to
-having asked for more draws up front (modulo the RNG stream, which is
-re-keyed by the resume seed).
+Sampling-phase resume semantics: adaptation is already frozen post-warmup, so
+:func:`resume` continues the *sampling phase* with the checkpointed
+tunables — equivalent to having asked for more draws up front (modulo the RNG
+stream, which is re-keyed by the resume seed).
+
+Mid-warmup checkpoints (SURVEY.md §5.4 "resume mid-warmup or mid-sampling")
+additionally persist the raw adaptation state — dual-averaging statistics,
+Welford moments, inverse mass diagonal, the ChEES trajectory state — plus the
+warmup step index and seed. Because the engine keys every step's RNG by the
+*global* step index (``fold_in(chain_key, t)``) and the warmup schedule is a
+static function of ``num_warmup``, :func:`run_warmup` + :func:`resume_warmup`
+produce draws **bit-identical** to an uninterrupted :func:`~mlx_mcmc_tpu.sample`
+call with the same seed (tests/test_checkpoint.py).
 """
 
 from __future__ import annotations
@@ -45,6 +54,11 @@ def save_checkpoint(path: str, result, backend: str = "auto") -> None:
     async-capable, multi-host-aware), or 'auto' — orbax when installed and
     ``path`` has no .npz suffix, else npz.
     """
+    if isinstance(result, dict) and result.get("phase") == "warmup":
+        # Mid-warmup checkpoint (run_warmup/resume_warmup dict). Always npz:
+        # it is a single small file of adaptation arrays + positions.
+        _save_warmup_npz(path if path.endswith(".npz") else path + ".npz", result)
+        return
     state = _result_state(result)
     if backend == "auto":
         backend = "npz" if path.endswith(".npz") else _orbax_or_npz()
@@ -62,6 +76,43 @@ def save_checkpoint(path: str, result, backend: str = "auto") -> None:
     arrays["inv_mass_diag"] = state["inv_mass_diag"]
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     np.savez(path, **arrays, **{_META_KEY: json.dumps(meta)})
+
+
+def _save_warmup_npz(path: str, ckpt: Dict[str, Any]) -> None:
+    meta = {
+        k: ckpt[k]
+        for k in (
+            "phase", "warmup_step", "num_warmup", "num_chains", "kernel",
+            "seed", "dim",
+        )
+    }
+    meta["param_names"] = list(ckpt["positions"].keys())
+    meta["n_adapt"] = len(ckpt["adapt_leaves"])
+    meta["n_traj"] = len(ckpt["traj_leaves"])
+    arrays = {f"pos_{k}": np.asarray(v) for k, v in ckpt["positions"].items()}
+    arrays.update(
+        {f"adapt_{i}": np.asarray(x) for i, x in enumerate(ckpt["adapt_leaves"])}
+    )
+    arrays.update(
+        {f"traj_{i}": np.asarray(x) for i, x in enumerate(ckpt["traj_leaves"])}
+    )
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    np.savez(path, **arrays, **{_META_KEY: json.dumps(meta)})
+
+
+def _load_warmup_npz(data, meta) -> Dict[str, Any]:
+    return {
+        "phase": "warmup",
+        "warmup_step": int(meta["warmup_step"]),
+        "num_warmup": int(meta["num_warmup"]),
+        "num_chains": int(meta["num_chains"]),
+        "kernel": meta["kernel"],
+        "seed": int(meta["seed"]),
+        "dim": int(meta["dim"]),
+        "positions": {k: data[f"pos_{k}"] for k in meta["param_names"]},
+        "adapt_leaves": [data[f"adapt_{i}"] for i in range(meta["n_adapt"])],
+        "traj_leaves": [data[f"traj_{i}"] for i in range(meta["n_traj"])],
+    }
 
 
 def _orbax_or_npz() -> str:
@@ -116,6 +167,8 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         path = path + ".npz"
     with np.load(path, allow_pickle=False) as data:
         meta = json.loads(str(data[_META_KEY]))
+        if meta.get("phase") == "warmup":
+            return _load_warmup_npz(data, meta)
         positions = {k: data[f"pos_{k}"] for k in meta["param_names"]}
         return {
             "positions": positions,
@@ -163,4 +216,256 @@ def resume(
         init_inv_mass_diag=jnp.asarray(checkpoint["inv_mass_diag"]),
         batched_initial=True,
         **kwargs,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mid-warmup checkpoint/resume
+# ---------------------------------------------------------------------------
+
+
+def _adapt_templates(dim: int, kernel: str):
+    """Pytree templates used to (de)serialize adaptation state by leaf order."""
+    from mlx_mcmc_tpu.kernels.adaptation import adaptation_init
+    from mlx_mcmc_tpu.kernels.chees import trajectory_init
+
+    adapt = adaptation_init(dim, 0.1, None)
+    traj = trajectory_init(0.1) if kernel == "chees" else ()
+    return adapt, traj
+
+
+def _warmup_run(
+    log_prob_fn,
+    initial_params,
+    *,
+    num_warmup: int,
+    warmup_start: int,
+    warmup_stop: Optional[int],
+    num_samples: int,
+    num_chains: int,
+    kernel: str,
+    seed,
+    data,
+    jitter: float,
+    resume_state,
+    z0_batch_override,
+    **kwargs,
+):
+    """Shared engine driver for warmup segments (mirrors the core of
+    ``sample()``: same key derivation, so segments compose bit-identically
+    with uninterrupted runs)."""
+    import jax
+
+    from mlx_mcmc_tpu.inference.api import _as_key
+    from mlx_mcmc_tpu.inference.engine import (
+        build_sampler,
+        make_chain_keys,
+        prepare_initial_positions,
+        resolve_step_size,
+    )
+    from mlx_mcmc_tpu.ops.ravel import make_flat_logprob
+
+    flat_log_prob, z0, unravel = make_flat_logprob(
+        log_prob_fn, initial_params, data_aware=data is not None
+    )
+    del initial_params
+    dim = z0.shape[0]
+    step_size = resolve_step_size(
+        kwargs.pop("step_size", "auto"), kernel, kwargs.get("adapt_step_size", True)
+    )
+    run = build_sampler(
+        flat_log_prob,
+        dim,
+        kernel=kernel,
+        num_warmup=num_warmup,
+        num_samples=num_samples,
+        step_size=step_size,
+        warmup_start=warmup_start,
+        warmup_stop=warmup_stop,
+        **kwargs,
+    )
+    key = _as_key(seed)
+    key_init, key_run = jax.random.split(key)
+    chain_keys = make_chain_keys(key_run, num_chains)
+    if z0_batch_override is not None:
+        z0_batch = jnp.asarray(z0_batch_override)
+    else:
+        z0_batch = prepare_initial_positions(z0, num_chains, key_init, jitter)
+    result = jax.jit(run)(chain_keys, z0_batch, data, resume_state, run.sched)
+    return result, unravel, dim
+
+
+def _warmup_ckpt_dict(
+    result, unravel, *, step, num_warmup, num_chains, kernel, seed, dim
+):
+    import jax
+
+    positions = jax.vmap(unravel)(result.final_state.position)
+    return {
+        "phase": "warmup",
+        "warmup_step": int(step),
+        "num_warmup": int(num_warmup),
+        "num_chains": int(num_chains),
+        "kernel": kernel,
+        "seed": int(seed),
+        "dim": int(dim),
+        # dict of (chains, *event) arrays — carries the param structure, so
+        # resume_warmup can rebuild the flat<->dict mapping without the
+        # original initial_params.
+        "positions": {
+            k: np.asarray(v) for k, v in positions.items()
+        },
+        "adapt_leaves": [
+            np.asarray(x) for x in jax.tree_util.tree_leaves(result.final_adapt)
+        ],
+        "traj_leaves": [
+            np.asarray(x) for x in jax.tree_util.tree_leaves(result.final_traj)
+        ],
+    }
+
+
+def _resume_state_from_ckpt(checkpoint):
+    import jax
+
+    adapt_t, traj_t = _adapt_templates(checkpoint["dim"], checkpoint["kernel"])
+    adapt = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(adapt_t),
+        [jnp.asarray(x) for x in checkpoint["adapt_leaves"]],
+    )
+    traj = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(traj_t),
+        [jnp.asarray(x) for x in checkpoint["traj_leaves"]],
+    )
+    return (adapt, traj)
+
+
+def run_warmup(
+    log_prob_fn,
+    initial_params,
+    *,
+    num_warmup: int = 1000,
+    stop: int,
+    num_chains: int = 1,
+    kernel: str = "nuts",
+    seed: int = 0,
+    data=None,
+    jitter: float = 0.0,
+    **kwargs,
+) -> Dict[str, Any]:
+    """Run the warmup segment ``[0, stop)`` of an ``num_warmup``-step warmup
+    and return a mid-warmup checkpoint dict (serialize with
+    :func:`save_checkpoint`, continue with :func:`resume_warmup`).
+
+    All other kwargs follow :func:`mlx_mcmc_tpu.sample` (kernel options,
+    ``target_accept``, ``adapt_*`` flags, ...). The eventual draws are
+    bit-identical to ``sample(..., num_warmup=num_warmup, seed=seed)``.
+    """
+    if not 0 < stop <= num_warmup:
+        raise ValueError(f"stop must be in (0, {num_warmup}], got {stop}")
+    result, unravel, dim = _warmup_run(
+        log_prob_fn,
+        initial_params,
+        num_warmup=num_warmup,
+        warmup_start=0,
+        warmup_stop=stop,
+        num_samples=0,
+        num_chains=num_chains,
+        kernel=kernel,
+        seed=seed,
+        data=data,
+        jitter=jitter,
+        resume_state=None,
+        z0_batch_override=None,
+        **kwargs,
+    )
+    return _warmup_ckpt_dict(
+        result,
+        unravel,
+        step=stop,
+        num_warmup=num_warmup,
+        num_chains=num_chains,
+        kernel=kernel,
+        seed=seed,
+        dim=dim,
+    )
+
+
+def resume_warmup(
+    log_prob_fn,
+    checkpoint: Dict[str, Any] | str,
+    *,
+    num_samples: int = 1000,
+    stop: Optional[int] = None,
+    data=None,
+    **kwargs,
+):
+    """Continue from a mid-warmup checkpoint.
+
+    With ``stop`` (< num_warmup): runs warmup ``[step, stop)`` and returns an
+    updated checkpoint dict (segments chain arbitrarily). Without ``stop``:
+    finishes warmup ``[step, num_warmup)``, draws ``num_samples``, and
+    returns the :class:`~mlx_mcmc_tpu.inference.api.MCMCResult` —
+    bit-identical to the uninterrupted run.
+    """
+    if isinstance(checkpoint, str):
+        checkpoint = load_checkpoint(checkpoint)
+    if checkpoint.get("phase") != "warmup":
+        raise ValueError(
+            "resume_warmup needs a mid-warmup checkpoint (run_warmup); for "
+            "post-warmup checkpoints use resume()"
+        )
+    start = int(checkpoint["warmup_step"])
+    num_warmup = int(checkpoint["num_warmup"])
+    kernel = checkpoint["kernel"]
+    partial = stop is not None and stop < num_warmup
+    if stop is not None and not start < stop <= num_warmup:
+        raise ValueError(f"stop must be in ({start}, {num_warmup}], got {stop}")
+
+    import jax
+
+    from mlx_mcmc_tpu.ops.ravel import ravel_params
+
+    positions = {
+        k: jnp.asarray(v) for k, v in checkpoint["positions"].items()
+    }
+    example = jax.tree_util.tree_map(lambda x: x[0], positions)
+    z0_batch = jax.vmap(lambda tree: ravel_params(tree)[0])(positions)
+
+    result, unravel, dim = _warmup_run(
+        log_prob_fn,
+        example,
+        num_warmup=num_warmup,
+        warmup_start=start,
+        warmup_stop=stop,
+        num_samples=0 if partial else num_samples,
+        num_chains=checkpoint["num_chains"],
+        kernel=kernel,
+        seed=checkpoint["seed"],
+        data=data,
+        jitter=0.0,
+        resume_state=_resume_state_from_ckpt(checkpoint),
+        z0_batch_override=z0_batch,
+        **kwargs,
+    )
+    if partial:
+        return _warmup_ckpt_dict(
+            result,
+            unravel,
+            step=stop,
+            num_warmup=num_warmup,
+            num_chains=checkpoint["num_chains"],
+            kernel=kernel,
+            seed=checkpoint["seed"],
+            dim=dim,
+        )
+    from mlx_mcmc_tpu.inference.api import MCMCResult
+
+    samples = jax.vmap(jax.vmap(unravel))(result.positions)
+    return MCMCResult(
+        samples=samples,
+        info=result.info,
+        tunables=result.final_tunables,
+        num_chains=checkpoint["num_chains"],
+        num_samples=num_samples,
+        kernel=kernel,
     )

@@ -66,10 +66,38 @@ def make_hierarchical_normal(
     )
 
 
-def eight_schools() -> HierarchicalSpec:
-    """The classic eight-schools meta-analysis (non-centered)."""
+def eight_schools(centered: bool = False) -> HierarchicalSpec:
+    """The classic eight-schools meta-analysis.
+
+    ``centered=False`` (default): non-centered parameterization, the clean
+    geometry. ``centered=True``: the textbook funnel — tau's scale multiplies
+    the theta posterior width, producing the divergence-generating geometry
+    used as the honest stress benchmark (a sampler that only reports
+    well-conditioned GLM numbers is hiding; divergence counts here are part
+    of the benchmark contract).
+    """
     y = jnp.asarray([28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0])
     sigma = jnp.asarray([15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0])
+
+    if centered:
+
+        def log_prob(params):
+            mu, log_tau, theta = (
+                params["mu"], params["log_tau"], params["theta"]
+            )
+            tau = jnp.exp(log_tau)
+            lp = Normal(0.0, 10.0).log_prob(mu)
+            lp += Normal(0.0, 1.0).log_prob(log_tau)
+            lp += jnp.sum(Normal(mu, tau).log_prob(params["theta"]))
+            lp += jnp.sum(Normal(theta, sigma).log_prob(y))
+            return lp
+
+        return HierarchicalSpec(
+            log_prob=log_prob,
+            initial_params={"mu": 0.0, "log_tau": 0.0, "theta": jnp.zeros(8)},
+            y=y,
+            truth={},
+        )
 
     def log_prob(params):
         mu, log_tau, theta_raw = params["mu"], params["log_tau"], params["theta_raw"]

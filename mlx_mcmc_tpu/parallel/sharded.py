@@ -184,8 +184,8 @@ def sample_sharded(
     z0_batch = prepare_initial_positions(z0, num_chains, key_init, jitter)
     chain_keys = make_chain_keys(key_run, num_chains)
 
-    def shard_run(chain_keys_shard, z0_shard, data_shard):
-        result = run(chain_keys_shard, z0_shard, data_shard)
+    def shard_run(chain_keys_shard, z0_shard, data_shard, sched):
+        result = run(chain_keys_shard, z0_shard, data_shard, None, sched)
         # Tunables (and device diagnostics) are identical on every shard
         # after the collectives; emit one leading shard axis so out_specs can
         # declare them sharded, then take shard 0 outside.
@@ -224,7 +224,7 @@ def sample_sharded(
     sharded = shard_map(
         shard_run,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), data_in_spec),
+        in_specs=(P(axis), P(axis), data_in_spec, P()),
         out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
         # Kernel while-loop carries mix shard-invariant literals with
         # shard-varying state; skip the varying-axes check rather than
@@ -233,7 +233,7 @@ def sample_sharded(
     )
 
     positions, info, tiled_tunables, final_state, stats = jax.jit(sharded)(
-        chain_keys, z0_batch, data
+        chain_keys, z0_batch, data, run.sched
     )
     tunables = jax.tree_util.tree_map(lambda x: x[0], tiled_tunables)
 

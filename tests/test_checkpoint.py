@@ -53,6 +53,91 @@ class TestCheckpoint:
         assert res2.samples["x"].shape == (2, 100, 2)
 
 
+class TestMidWarmupResume:
+    """SURVEY.md §5.4: resume mid-warmup. The layout-invariant RNG
+    (``fold_in(chain_key, global_step)``) plus the static warmup schedule make
+    exact resume possible: interrupted-at-step-k must equal uninterrupted,
+    bit for bit — both the remaining warmup and the sampling phase."""
+
+    @pytest.mark.parametrize("kernel", ["nuts", "hmc", "chees"])
+    def test_interrupted_equals_uninterrupted(self, kernel, tmp_path):
+        from mlx_mcmc_tpu.io import resume_warmup, run_warmup
+
+        kwargs = dict(num_chains=4, kernel=kernel, seed=7)
+        full = sample(
+            _model, {"x": jnp.zeros(3)}, num_warmup=80, num_samples=40, **kwargs
+        )
+        ckpt = run_warmup(
+            _model, {"x": jnp.zeros(3)}, num_warmup=80, stop=33, **kwargs
+        )
+        # Round-trip through disk.
+        path = str(tmp_path / f"warmup_{kernel}.npz")
+        save_checkpoint(path, ckpt)
+        res = resume_warmup(_model, load_checkpoint(path), num_samples=40)
+        np.testing.assert_array_equal(
+            np.asarray(res.samples["x"]), np.asarray(full.samples["x"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res.info.is_divergent), np.asarray(full.info.is_divergent)
+        )
+        assert float(res.tunables.step_size) == float(full.tunables.step_size)
+
+    def test_chained_segments(self):
+        from mlx_mcmc_tpu.io import resume_warmup, run_warmup
+
+        kwargs = dict(num_chains=2, kernel="nuts", seed=3)
+        full = sample(
+            _model, {"x": jnp.zeros(2)}, num_warmup=60, num_samples=20, **kwargs
+        )
+        ckpt = run_warmup(
+            _model, {"x": jnp.zeros(2)}, num_warmup=60, stop=10, **kwargs
+        )
+        ckpt = resume_warmup(_model, ckpt, stop=45)  # second segment
+        assert ckpt["warmup_step"] == 45
+        res = resume_warmup(_model, ckpt, num_samples=20)
+        np.testing.assert_array_equal(
+            np.asarray(res.samples["x"]), np.asarray(full.samples["x"])
+        )
+
+    def test_warmup_checkpoint_carries_adaptation(self):
+        from mlx_mcmc_tpu.io import run_warmup
+
+        # Stan schedule for 200 warmup: slow windows end at steps 99 and 149,
+        # so a checkpoint at 120 has a refreshed (non-identity) mass matrix.
+        ckpt = run_warmup(
+            _model, {"x": jnp.zeros(2)}, num_warmup=200, stop=120,
+            num_chains=2, kernel="nuts", seed=0,
+        )
+        assert ckpt["phase"] == "warmup"
+        # AdaptationState: 5 dual-averaging scalars + 3 Welford leaves +
+        # inv_mass_diag.
+        assert len(ckpt["adapt_leaves"]) == 9
+        # Past the first slow window the Welford-adapted mass matrix should
+        # have moved off its identity init.
+        assert not np.allclose(ckpt["adapt_leaves"][-1], 1.0)
+
+    def test_bad_phase_rejected(self):
+        from mlx_mcmc_tpu.io import resume_warmup
+
+        res = sample(
+            _model, {"x": jnp.zeros(2)}, num_samples=20, num_warmup=20,
+            num_chains=2, seed=0,
+        )
+        from mlx_mcmc_tpu.io.checkpoint import _result_state
+
+        with pytest.raises(ValueError, match="mid-warmup"):
+            resume_warmup(_model, _result_state(res), num_samples=10)
+
+    def test_invalid_stop_rejected(self):
+        from mlx_mcmc_tpu.io import run_warmup
+
+        with pytest.raises(ValueError, match="stop"):
+            run_warmup(
+                _model, {"x": jnp.zeros(2)}, num_warmup=50, stop=60,
+                num_chains=2,
+            )
+
+
 class TestConfig:
     def test_sampler_config_roundtrip(self):
         cfg = SamplerConfig(
