@@ -55,36 +55,53 @@ def _is_turning(r_sum, r_first, r_last, inv_mass_diag) -> jnp.ndarray:
     return (jnp.dot(r_sum, v_first) <= 0.0) | (jnp.dot(r_sum, v_last) <= 0.0)
 
 
-class _TreeState(NamedTuple):
-    """The whole sampled trajectory, represented by its two ends + proposal."""
+class _Proposal(NamedTuple):
+    """The candidate next state: position + cached density/gradient. The
+    momentum is deliberately NOT tracked — it is never consumed after
+    selection, and dropping it saves one (D,)-select per leaf per chain."""
 
+    z: jnp.ndarray
+    log_prob: jnp.ndarray
+    grad: jnp.ndarray
+
+
+class _NutsCarry(NamedTuple):
+    """FLAT while-loop state: the sampled trajectory (tree) and the
+    in-flight subtree, advanced ONE leapfrog per loop iteration.
+
+    The textbook nested formulation (doubling while-loop around a subtree
+    while-loop) pays a loop-boundary cost per doubling that measures ~1.8 ms
+    at 4096 vmapped chains on v5e — more than the leapfrog itself. Flattening
+    to a single loop makes the iteration count exactly the leapfrog count;
+    subtree completion and tree merging happen branchlessly via masked
+    selects inside the body.
+    """
+
+    # --- whole-trajectory (tree) state ---
     left: IntegratorState
     right: IntegratorState
-    proposal: IntegratorState
-    energy_proposal: jnp.ndarray
+    proposal: _Proposal
     log_weight: jnp.ndarray  # log sum_leaves exp(E0 - E); root contributes 0
     r_sum: jnp.ndarray  # (D,) momentum sum over all leaves incl. root
-    depth: jnp.ndarray  # i32
+    depth: jnp.ndarray  # i32, completed doublings
     turning: jnp.ndarray
     diverging: jnp.ndarray
     sum_accept: jnp.ndarray
     num_leaves: jnp.ndarray  # i32, leapfrog steps taken
-
-
-class _SubtreeCarry(NamedTuple):
-    first: IntegratorState  # first generated leaf (nearest the old tree)
-    last: IntegratorState  # latest integration point
-    proposal: IntegratorState
-    energy_proposal: jnp.ndarray
-    log_weight: jnp.ndarray
-    r_sum: jnp.ndarray
-    sum_accept: jnp.ndarray
-    leaf_idx: jnp.ndarray  # i32 leaves built so far
-    turning: jnp.ndarray
-    diverging: jnp.ndarray
-    r_ckpts: jnp.ndarray  # (max_tree_depth, D)
-    r_sum_ckpts: jnp.ndarray  # (max_tree_depth, D)
+    # --- in-flight subtree state ---
+    sub_last: IntegratorState  # latest integration point
+    sub_proposal: _Proposal
+    sub_log_weight: jnp.ndarray
+    sub_r_sum: jnp.ndarray
+    sub_leaf: jnp.ndarray  # i32 leaves built in the current subtree
+    going_right: jnp.ndarray  # bool, direction of the current subtree
+    r_ckpts: jnp.ndarray  # (max_tree_depth, D) even-leaf momenta
+    r_sum_ckpts: jnp.ndarray  # (max_tree_depth, D) even-leaf prefix sums
     key: jnp.ndarray
+
+
+def _as_proposal(state: IntegratorState) -> _Proposal:
+    return _Proposal(z=state.z, log_prob=state.log_prob, grad=state.grad)
 
 
 def make_nuts_kernel(
@@ -106,121 +123,39 @@ def make_nuts_kernel(
         return HMCState(position=position, log_prob=log_prob, grad=grad)
 
     # ------------------------------------------------------------------
-    # Iterative subtree build with checkpoint-array U-turn detection
+    # Flat single-loop tree build (one leapfrog per while iteration)
     # ------------------------------------------------------------------
 
-    def _leaf_turning_check(leaf_idx, r_sum, r_leaf, carry: _SubtreeCarry, inv_mass):
+    def _leaf_turning_check(leaf_idx, r_sum, r_leaf, r_ckpts, r_sum_ckpts, inv_mass):
         """For odd ``leaf_idx``, check U-turns of every subtree that has this
         leaf as its rightmost element, against checkpointed left edges.
 
         Checkpoint slot of an even leaf ``m`` is ``popcount(m)``; the slots to
         check against for odd ``n`` span ``[idx_max - trailing_ones(n) + 1,
-        idx_max]`` with ``idx_max = popcount(n >> 1)``.
+        idx_max]`` with ``idx_max = popcount(n >> 1)``. Every slot in that
+        range was written earlier in the SAME subtree, so stale data from a
+        previous subtree can never enter the mask — the checkpoint buffers
+        need no per-subtree zeroing.
+
+        Evaluated for ALL ``max_tree_depth`` slots at once with a slot mask
+        instead of a data-dependent inner while_loop: the batched check is a
+        (T, D) elementwise + two (T,) reductions — far cheaper than per-slot
+        loop iterations (and under the chain vmap a dynamic slot gather would
+        lower to a serialized per-row gather).
         """
         idx_max = _popcount(leaf_idx >> 1)
         trailing_ones = _popcount(leaf_idx ^ (leaf_idx + 1)) - 1
         idx_min = idx_max - trailing_ones + 1
 
-        def cond(it):
-            i, turning = it
-            return (i >= idx_min) & ~turning
-
-        def body(it):
-            i, _ = it
-            sub_sum = r_sum - carry.r_sum_ckpts[i] + carry.r_ckpts[i]
-            turning = _is_turning(sub_sum, carry.r_ckpts[i], r_leaf, inv_mass)
-            return i - 1, turning
-
-        _, turning = jax.lax.while_loop(cond, body, (idx_max, jnp.asarray(False)))
-        return turning
-
-    def _build_subtree(key, edge: IntegratorState, depth, eps_signed, inv_mass, energy0):
-        """Integrate ``2**depth`` leapfrog steps from ``edge``, accumulating
-        multinomial weights and running all within-subtree U-turn checks."""
-        dim = edge.z.shape[-1]
-        num_target = jnp.left_shift(jnp.asarray(1, jnp.int32), depth)
-
-        carry = _SubtreeCarry(
-            first=edge,
-            last=edge,
-            proposal=edge,
-            energy_proposal=jnp.asarray(jnp.inf, jnp.float32),
-            log_weight=jnp.asarray(-jnp.inf, jnp.float32),
-            r_sum=jnp.zeros((dim,), edge.r.dtype),
-            sum_accept=jnp.zeros((), jnp.float32),
-            leaf_idx=jnp.asarray(0, jnp.int32),
-            turning=jnp.asarray(False),
-            diverging=jnp.asarray(False),
-            r_ckpts=jnp.zeros((max_tree_depth, dim), edge.r.dtype),
-            r_sum_ckpts=jnp.zeros((max_tree_depth, dim), edge.r.dtype),
-            key=key,
+        sub_sum = r_sum[None, :] - r_sum_ckpts + r_ckpts  # (T, D)
+        v_first = inv_mass[None, :] * r_ckpts
+        v_leaf = inv_mass * r_leaf
+        turning_t = (jnp.sum(sub_sum * v_first, axis=-1) <= 0.0) | (
+            sub_sum @ v_leaf <= 0.0
         )
-
-        def cond(c: _SubtreeCarry):
-            return (c.leaf_idx < num_target) & ~c.turning & ~c.diverging
-
-        def body(c: _SubtreeCarry) -> _SubtreeCarry:
-            new = leapfrog(c.last, eps_signed, inv_mass)
-            energy = total_energy(new, inv_mass)
-            delta = energy - energy0  # energy error vs trajectory start
-            diverging = delta > max_delta_energy
-            log_w_leaf = -delta  # multinomial log weight, relative to E0
-            accept_stat = jnp.exp(jnp.minimum(-delta, 0.0))
-
-            # Progressive uniform-multinomial proposal update within subtree.
-            key, key_take = jax.random.split(c.key)
-            log_w_total = jnp.logaddexp(c.log_weight, log_w_leaf)
-            p_take = jnp.exp(log_w_leaf - log_w_total)
-            p_take = jnp.where(jnp.isnan(p_take), 0.0, p_take)
-            take = (~diverging) & (
-                jax.random.uniform(key_take, ()) < p_take
-            )
-            proposal = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(take, a, b), new, c.proposal
-            )
-            energy_proposal = jnp.where(take, energy, c.energy_proposal)
-
-            r_sum = c.r_sum + new.r
-            first = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(c.leaf_idx == 0, a, b), new, c.first
-            )
-
-            # Checkpoint bookkeeping: even leaves store, odd leaves check.
-            is_even = (c.leaf_idx % 2) == 0
-            ckpt_idx = _popcount(c.leaf_idx)
-            r_ckpts = c.r_ckpts.at[ckpt_idx].set(
-                jnp.where(is_even, new.r, c.r_ckpts[ckpt_idx])
-            )
-            r_sum_ckpts = c.r_sum_ckpts.at[ckpt_idx].set(
-                jnp.where(is_even, r_sum, c.r_sum_ckpts[ckpt_idx])
-            )
-            turning = jnp.where(
-                is_even,
-                False,
-                _leaf_turning_check(c.leaf_idx, r_sum, new.r, c, inv_mass),
-            )
-
-            return _SubtreeCarry(
-                first=first,
-                last=new,
-                proposal=proposal,
-                energy_proposal=energy_proposal,
-                log_weight=log_w_total,
-                r_sum=r_sum,
-                sum_accept=c.sum_accept + accept_stat,
-                leaf_idx=c.leaf_idx + 1,
-                turning=turning,
-                diverging=diverging,
-                r_ckpts=r_ckpts,
-                r_sum_ckpts=r_sum_ckpts,
-                key=key,
-            )
-
-        return jax.lax.while_loop(cond, body, carry)
-
-    # ------------------------------------------------------------------
-    # Doubling loop
-    # ------------------------------------------------------------------
+        slots = jnp.arange(max_tree_depth, dtype=jnp.int32)
+        mask = (slots >= idx_min) & (slots <= idx_max)
+        return jnp.any(turning_t & mask)
 
     def step_fn(key, state: HMCState, tunables: Tunables):
         inv_mass = tunables.inv_mass_diag
@@ -230,71 +165,147 @@ def make_nuts_kernel(
         r0 = sample_momentum(key_momentum, inv_mass)
         start = IntegratorState(state.position, r0, state.log_prob, state.grad)
         energy0 = total_energy(start, inv_mass)
+        dim = state.position.shape[-1]
+        f32 = jnp.float32
 
-        tree = _TreeState(
+        carry0 = _NutsCarry(
             left=start,
             right=start,
-            proposal=start,
-            energy_proposal=energy0,
-            log_weight=jnp.zeros((), jnp.float32),
+            proposal=_as_proposal(start),
+            log_weight=jnp.zeros((), f32),
             r_sum=r0,
             depth=jnp.asarray(0, jnp.int32),
             turning=jnp.asarray(False),
             diverging=jnp.asarray(False),
-            sum_accept=jnp.zeros((), jnp.float32),
+            sum_accept=jnp.zeros((), f32),
             num_leaves=jnp.asarray(0, jnp.int32),
+            sub_last=start,
+            sub_proposal=_as_proposal(start),
+            sub_log_weight=jnp.asarray(-jnp.inf, f32),
+            sub_r_sum=jnp.zeros((dim,), r0.dtype),
+            sub_leaf=jnp.asarray(0, jnp.int32),
+            going_right=jnp.asarray(False),
+            r_ckpts=jnp.zeros((max_tree_depth, dim), r0.dtype),
+            r_sum_ckpts=jnp.zeros((max_tree_depth, dim), r0.dtype),
+            key=key_loop,
         )
 
-        def cond(carry):
-            tree, _ = carry
-            return ~tree.turning & ~tree.diverging & (tree.depth < max_tree_depth)
+        def cond(c: _NutsCarry):
+            return ~c.turning & ~c.diverging & (c.depth < max_tree_depth)
 
-        def body(carry):
-            tree, key = carry
-            key, key_dir, key_build, key_move = jax.random.split(key, 4)
-            going_right = jax.random.bernoulli(key_dir)
-
-            edge = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(going_right, a, b), tree.right, tree.left
+        def body(c: _NutsCarry) -> _NutsCarry:
+            starting = c.sub_leaf == 0  # first leaf of a new subtree?
+            key, key_dir, key_take, key_move = jax.random.split(c.key, 4)
+            going_right = jnp.where(
+                starting, jax.random.bernoulli(key_dir), c.going_right
             )
             eps_signed = jnp.where(going_right, eps, -eps)
-            sub = _build_subtree(key_build, edge, tree.depth, eps_signed, inv_mass, energy0)
-            valid = ~sub.turning & ~sub.diverging
 
-            # Biased progressive transition: favor the new half-trajectory.
-            p_move = jnp.exp(jnp.minimum(sub.log_weight - tree.log_weight, 0.0))
-            p_move = jnp.where(jnp.isnan(p_move), 0.0, p_move)
-            move = valid & (jax.random.uniform(key_move, ()) < p_move)
-            proposal = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(move, a, b), sub.proposal, tree.proposal
+            # Integrate from the tree's outgoing edge when starting a
+            # subtree, else from the last integration point.
+            fresh_edge = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(going_right, a, b), c.right, c.left
             )
-            energy_proposal = jnp.where(move, sub.energy_proposal, tree.energy_proposal)
+            base = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(starting, a, b), fresh_edge, c.sub_last
+            )
+            new = leapfrog(base, eps_signed, inv_mass)
+            energy = total_energy(new, inv_mass)
+            delta = energy - energy0  # energy error vs trajectory start
+            leaf_div = delta > max_delta_energy
+            log_w_leaf = -delta  # multinomial log weight, relative to E0
+            accept_stat = jnp.exp(jnp.minimum(-delta, 0.0))
 
+            # Progressive uniform-multinomial proposal update within subtree.
+            prev_lw = jnp.where(starting, -jnp.inf, c.sub_log_weight)
+            sub_lw = jnp.logaddexp(prev_lw, log_w_leaf)
+            p_take = jnp.exp(log_w_leaf - sub_lw)
+            p_take = jnp.where(jnp.isnan(p_take), 0.0, p_take)
+            take = (~leaf_div) & (jax.random.uniform(key_take, ()) < p_take)
+            sub_proposal = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(take, a, b),
+                _as_proposal(new),
+                c.sub_proposal,
+            )
+
+            leaf_idx = jnp.where(starting, 0, c.sub_leaf)  # index of THIS leaf
+            sub_r_sum = jnp.where(starting, 0.0, c.sub_r_sum) + new.r
+
+            # Checkpoint bookkeeping: even leaves store, odd leaves check.
+            # Stored via a masked full-array write, NOT ``.at[ckpt_idx].set``:
+            # under the chain vmap the slot index is a per-chain traced value,
+            # so a dynamic-index update lowers to a scatter over
+            # (chains, T, D) — serialized row-by-row on TPU and, measured,
+            # the dominant bookkeeping cost. The masked write is T-times the
+            # bytes of one slot but fully vectorized.
+            is_even = (leaf_idx % 2) == 0
+            ckpt_idx = _popcount(leaf_idx)
+            slots = jnp.arange(max_tree_depth, dtype=jnp.int32)
+            hit = ((slots == ckpt_idx) & is_even)[:, None]  # (T, 1)
+            r_ckpts = jnp.where(hit, new.r[None, :], c.r_ckpts)
+            r_sum_ckpts = jnp.where(hit, sub_r_sum[None, :], c.r_sum_ckpts)
+            sub_turn = jnp.where(
+                is_even,
+                False,
+                _leaf_turning_check(
+                    leaf_idx, sub_r_sum, new.r, r_ckpts, r_sum_ckpts, inv_mass
+                ),
+            )
+
+            # Subtree completes when it has 2^depth leaves or stops early.
+            target = jnp.left_shift(jnp.asarray(1, jnp.int32), c.depth)
+            complete = (leaf_idx + 1 >= target) | sub_turn | leaf_div
+            valid = ~sub_turn & ~leaf_div
+
+            # --- merge into the tree (masked; applies where complete) ---
+            # Biased progressive transition: favor the new half-trajectory.
+            p_move = jnp.exp(jnp.minimum(sub_lw - c.log_weight, 0.0))
+            p_move = jnp.where(jnp.isnan(p_move), 0.0, p_move)
+            move = complete & valid & (jax.random.uniform(key_move, ()) < p_move)
+            proposal = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(move, a, b), sub_proposal, c.proposal
+            )
+            upd_left = complete & ~going_right
+            upd_right = complete & going_right
             left = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(going_right, a, b), tree.left, sub.last
+                lambda a, b: jnp.where(upd_left, a, b), new, c.left
             )
             right = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(going_right, a, b), sub.last, tree.right
+                lambda a, b: jnp.where(upd_right, a, b), new, c.right
             )
-            r_sum = tree.r_sum + sub.r_sum
-            turning_full = _is_turning(r_sum, left.r, right.r, inv_mass)
+            r_sum_tree = jnp.where(complete, c.r_sum + sub_r_sum, c.r_sum)
+            turning_full = _is_turning(r_sum_tree, left.r, right.r, inv_mass)
+            turning = jnp.where(
+                complete, sub_turn | (valid & turning_full), c.turning
+            )
+            diverging = jnp.where(complete, leaf_div, c.diverging)
+            log_weight = jnp.where(
+                complete, jnp.logaddexp(c.log_weight, sub_lw), c.log_weight
+            )
 
-            new_tree = _TreeState(
+            return _NutsCarry(
                 left=left,
                 right=right,
                 proposal=proposal,
-                energy_proposal=energy_proposal,
-                log_weight=jnp.logaddexp(tree.log_weight, sub.log_weight),
-                r_sum=r_sum,
-                depth=tree.depth + 1,
-                turning=sub.turning | (valid & turning_full),
-                diverging=sub.diverging,
-                sum_accept=tree.sum_accept + sub.sum_accept,
-                num_leaves=tree.num_leaves + sub.leaf_idx,
+                log_weight=log_weight,
+                r_sum=r_sum_tree,
+                depth=c.depth + complete.astype(jnp.int32),
+                turning=turning,
+                diverging=diverging,
+                sum_accept=c.sum_accept + accept_stat,
+                num_leaves=c.num_leaves + 1,
+                sub_last=new,
+                sub_proposal=sub_proposal,
+                sub_log_weight=sub_lw,
+                sub_r_sum=sub_r_sum,
+                sub_leaf=jnp.where(complete, 0, leaf_idx + 1),
+                going_right=going_right,
+                r_ckpts=r_ckpts,
+                r_sum_ckpts=r_sum_ckpts,
+                key=key,
             )
-            return new_tree, key
 
-        tree, _ = jax.lax.while_loop(cond, body, (tree, key_loop))
+        tree = jax.lax.while_loop(cond, body, carry0)
 
         new_state = HMCState(
             position=tree.proposal.z,

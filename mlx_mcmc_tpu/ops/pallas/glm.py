@@ -47,20 +47,27 @@ def _softplus(s):
 
 
 def _fused_kernel(x_ref, y_ref, bt_ref, ll_ref, g_ref):
-    """Grid: one program per row tile. Outputs use constant index maps, so
-    they stay VMEM-resident across sequential grid steps and act as
-    accumulators.
+    """Grid ``(c_tiles, n_tiles)``, chain tiles outer / row tiles inner: the
+    ``ll``/``g`` output blocks depend only on the outer index, so they stay
+    VMEM-resident across the whole inner row sweep and act as accumulators,
+    while the (tile_n, c_tile) intermediates stay small enough to pipeline
+    (a single monolithic chain block at 4096 chains put 16MB f32 temporaries
+    in VMEM and ran slower than XLA's own fusion).
 
     ``x``/``bt`` may be bfloat16: both MXU contractions then take bf16 inputs
     with f32 accumulation — HALF the HBM traffic of f32 storage. (XLA's own
     autodiff gains nothing from bf16 X because its backward pass upcasts the
-    operand; measured on v5e: 613us f32 vs 606us bf16 per call for XLA,
-    while this kernel scales with the actual bytes.) Sampling then targets
-    the posterior of the bf16-rounded design matrix — a model-level rounding
-    (usually far below measurement noise), not a sampling-correctness issue,
-    since current and proposed states are evaluated identically.
+    operand.) Sampling then targets the posterior of the bf16-rounded design
+    matrix — a model-level rounding (usually far below measurement noise),
+    not a sampling-correctness issue, since current and proposed states are
+    evaluated identically.
+
+    Transcendentals are shared: one ``exp(-|s|)`` feeds both the softplus in
+    the log-likelihood and the sigmoid in the residual — the elementwise
+    epilogue is a VPU-bound term comparable to the matmuls at wide chain
+    counts, so a 3-transcendental formulation measurably costs.
     """
-    i = pl.program_id(0)
+    i = pl.program_id(1)  # inner: row tile
 
     @pl.when(i == 0)
     def _():
@@ -74,14 +81,22 @@ def _fused_kernel(x_ref, y_ref, bt_ref, ll_ref, g_ref):
         # only dequantizes the tile to bf16 in-register (VPU cast).
         x = x.astype(jnp.bfloat16)
     y = y_ref[:]  # (TILE_N, 1) f32
-    bt = bt_ref[:]  # (Dp, Cp), matches the compute dtype of x
+    bt = bt_ref[:]  # (Dp, c_tile), matches the compute dtype of x
 
-    s = jnp.dot(x, bt, preferred_element_type=jnp.float32)  # (TILE_N, Cp) MXU
-    r = y - jax.nn.sigmoid(s)  # residual (TILE_N, Cp) f32
-    ll_tile = jnp.sum(y * s - _softplus(s), axis=0, keepdims=True)  # (1, Cp)
+    s = jnp.dot(x, bt, preferred_element_type=jnp.float32)  # (TILE_N, Ct) MXU
+    # Shared-exp epilogue: t = exp(-|s|) in (0, 1].
+    #   sigmoid(s)  = where(s >= 0, 1/(1+t), t/(1+t))
+    #   softplus(s) = log1p(t) + max(s, 0)
+    t = jnp.exp(-jnp.abs(s))
+    inv1pt = 1.0 / (1.0 + t)
+    sig = jnp.where(s >= 0.0, inv1pt, t * inv1pt)
+    r = y - sig  # residual (TILE_N, Ct) f32
+    ll_tile = jnp.sum(
+        y * s - (jnp.log1p(t) + jnp.maximum(s, 0.0)), axis=0, keepdims=True
+    )
 
     ll_ref[:] += ll_tile
-    # X^T r while the X tile is still in VMEM: (Dp, TILE_N) @ (TILE_N, Cp).
+    # X^T r while the X tile is still in VMEM: (Dp, TILE_N) @ (TILE_N, Ct).
     g_ref[:] += jax.lax.dot_general(
         x,
         r.astype(x.dtype),
@@ -90,12 +105,28 @@ def _fused_kernel(x_ref, y_ref, bt_ref, ll_ref, g_ref):
     )
 
 
+def _pick_chain_tile(c_pad: int, max_tile: int = 1024) -> int:
+    """Largest lane-multiple tile <= max_tile that divides c_pad."""
+    t = min(c_pad, max_tile)
+    while t > _LANE and c_pad % t != 0:
+        t -= _LANE
+    return t
+
+
 def _fused_padded_call(
     Xp, yp, Bt, tile_n: int, interpret: bool, kernel_fn=None
 ):
     """Pallas call on pre-padded operands: Xp (n_pad, d_pad), yp (n_pad, 1),
     Bt (d_pad, c_pad). Returns (ll_pad (1, c_pad), g_pad (d_pad, c_pad)).
-    ``kernel_fn`` selects the likelihood body (logistic default, linear)."""
+    ``kernel_fn`` selects the likelihood body (logistic default, linear).
+
+    Grid (c_tiles, n_tiles), chain tiles OUTER: the ll/g accumulator blocks
+    depend only on the outer index and stay VMEM-resident across the inner
+    row sweep, while the (tile_n, c_tile) intermediates stay pipeline-sized.
+    X is re-streamed once per chain tile — for the wide-chain configs where
+    c_tiles > 1 the design matrix is small (it fits VMEM many times over),
+    and for huge-X configs (glm1000) chain counts keep c_tiles == 1.
+    """
     if kernel_fn is None:
         kernel_fn = _fused_kernel
     n_pad, d_pad = Xp.shape
@@ -105,18 +136,44 @@ def _fused_padded_call(
             f"padded rows ({n_pad}) not a multiple of tile_n={tile_n}; "
             "the data was prepared with a different tile size"
         )
-    grid = (n_pad // tile_n,)
+    c_tile = _pick_chain_tile(c_pad)
+    grid = (c_pad // c_tile, n_pad // tile_n)
+    # The mosaic default scoped-VMEM budget (16MB) OOMs once the in-kernel
+    # (tile_n, c_tile) f32 intermediates cross it. Budget explicitly for the
+    # live buffers: x, bt, g, ll plus two (tile_n, c_tile) f32 temporaries
+    # (s and r), with double-buffer headroom.
+    extra_kwargs = {}
+    if not interpret:
+        live = (
+            tile_n * d_pad * Xp.dtype.itemsize  # x tile
+            + 2 * d_pad * c_tile * 4  # bt + g accumulator
+            + 2 * tile_n * c_tile * 4  # s, r intermediates
+            + c_tile * 4
+        )
+        extra_kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(2.5 * live) + (1 << 20), 100 * 1024 * 1024)
+        )
     return pl.pallas_call(
         kernel_fn,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d_pad, c_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_n, d_pad), lambda j, i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_n, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (d_pad, c_tile), lambda j, i: (0, j), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=[
-            pl.BlockSpec((1, c_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d_pad, c_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, c_tile), lambda j, i: (0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (d_pad, c_tile), lambda j, i: (0, j), memory_space=pltpu.VMEM
+            ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, c_pad), jnp.float32),
@@ -124,11 +181,12 @@ def _fused_padded_call(
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * n_pad * d_pad * c_pad,
-            bytes_accessed=n_pad * d_pad * Xp.dtype.itemsize
+            bytes_accessed=n_pad * d_pad * Xp.dtype.itemsize * (c_pad // c_tile)
             + 2 * d_pad * c_pad * 4,
             transcendentals=n_pad * c_pad if kernel_fn is _fused_kernel else 0,
         ),
         interpret=interpret,
+        **extra_kwargs,
     )(Xp, yp, Bt)
 
 
@@ -148,8 +206,10 @@ def _fused_linear_kernel(x_ref, y_ref, bt_ref, ll_ref, g_ref):
     """Gaussian-likelihood sibling of ``_fused_kernel``: accumulates
     ``-0.5 * sum (y - X z)^2`` and ``X^T (y - X z)`` in one X pass (the
     1/noise_scale^2 factor is applied by the wrapper). Zero-padded rows
-    contribute exactly nothing (y=0, s=0), so no pad constant is needed."""
-    i = pl.program_id(0)
+    contribute exactly nothing (y=0, s=0), so no pad constant is needed.
+    Same (c_tiles, n_tiles) grid as the logistic kernel: accumulators reset
+    at the start of each inner row sweep."""
+    i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
