@@ -4,8 +4,14 @@ Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "ess/s", "vs_baseline": N}
 
 Configs (select with BENCH_CONFIG env var or argv[1]):
-    glm100  (default): 100 params, 10K obs, 64 chains  — BASELINE.md medium
-    glm1000          : 1000 params, 100K obs, 16 chains — BASELINE.md large
+    glm100_fused (default): 100 params, 10K obs, 4096 chains, bf16 fused
+                       Pallas value+grad — the flagship
+    glm100           : same posterior, plain XLA f32 path
+    glm1000 / glm1000_fused : 1000 params, 100K obs — BASELINE.md large
+    hier1000         : 1000-param non-centered hierarchical, ~100K obs
+    funnel8          : centered eight-schools funnel (divergence stress)
+The default run also measures the funnel stress benchmark and reports it in
+the detail (divergence counts keep the friendly-GLM headline honest).
 
 Baseline derivation (see BASELINE.md — the reference publishes no rigorous
 numbers): the reference's claimed medium-model wall time (100 params,
@@ -41,14 +47,21 @@ CONFIGS = {
         baseline_ess_per_sec=0.44, fused=False,
         label="min-ESS/sec/chip, NUTS 100-param logistic GLM (10K obs, {chains} chains)",
     ),
-    # bf16 design matrix + fused Pallas value+grad, same posterior as glm100.
+    # FLAGSHIP (default): bf16 design matrix + fused single-pass Pallas
+    # value+grad (2-D grid, shared-exp epilogue), same posterior as glm100.
+    # Measured r2 progression @4096 chains: plain XLA 296k ess/s -> fused
+    # 337k -> +single-threefry-per-leaf 348k -> depth cap 6: 359k (wall
+    # 10.06 s, 0 divergences). max_tree_depth=6 is a config choice, not a
+    # bias: adapted trajectories U-turn at depth 3 (2^6-1=63 leapfrogs of
+    # headroom) and min-ESS is unchanged vs depth 8 — smaller checkpoint
+    # buffers cut the while-carry traffic.
     "glm100_fused": dict(
-        num_features=100, num_obs=10_000, num_chains=128,
-        num_warmup=500, num_samples=500, max_tree_depth=8,
+        num_features=100, num_obs=10_000, num_chains=4096,
+        num_warmup=500, num_samples=500, max_tree_depth=6,
         baseline_ess_per_sec=0.44, fused=True,
         label=(
             "min-ESS/sec/chip, NUTS 100-param logistic GLM "
-            "(10K obs, 128 chains, bf16 fused Pallas)"
+            "(10K obs, {chains} chains, bf16 fused Pallas)"
         ),
     ),
     "glm1000": dict(
@@ -189,28 +202,9 @@ def build_problem(cfg):
     raise ValueError(f"unknown family: {family!r}")
 
 
-# Public single-chip peaks used for the MFU/roofline estimate in the bench
-# detail (bf16 matmul peak; the MXU computes f32 matmuls at bf16 operand
-# precision by default, so one peak covers both storage dtypes).
-_DEVICE_PEAKS = {
-    # device_kind substring: (peak TFLOP/s, HBM GB/s)
-    "v5 lite": (197.0, 819.0),
-    "v5e": (197.0, 819.0),
-    "v4": (275.0, 1228.0),
-    "v5p": (459.0, 2765.0),
-}
-
-
-def _device_peaks(device) -> tuple:
-    kind = getattr(device, "device_kind", "").lower()
-    for sub, peaks in _DEVICE_PEAKS.items():
-        if sub in kind:
-            return peaks
-    return (None, None)
-
-
 def _mfu_detail(result, cfg, data, wall: float, device) -> dict:
-    """Roofline accounting for the GLM value+grad hot op.
+    """Roofline accounting for the GLM value+grad hot op
+    (``mlx_mcmc_tpu.utils.roofline`` does the device-peak math).
 
     Counts only *useful* flops (per-chain true leapfrog counts summed from
     ``num_integration_steps``; vmapped NUTS actually runs lockstep to the
@@ -218,7 +212,11 @@ def _mfu_detail(result, cfg, data, wall: float, device) -> dict:
     not recorded (`collect_warmup=False`); they are estimated at the sampling
     phase's mean steps/draw — flagged as an estimate in the output.
     """
-    import numpy as np
+    from mlx_mcmc_tpu.utils.roofline import (
+        glm_vag_bytes,
+        glm_vag_flops,
+        roofline_report,
+    )
 
     steps = np.asarray(result.info.num_integration_steps, np.float64)
     sampling_leapfrogs = float(steps.sum())  # sum over (chains, draws)
@@ -226,33 +224,20 @@ def _mfu_detail(result, cfg, data, wall: float, device) -> dict:
     total_leapfrogs = sampling_leapfrogs * scale
     if cfg["fused"]:
         n_eff, d_eff = data["Xp"].shape  # padded dims: real kernel work
-        x_bytes = n_eff * d_eff * data["Xp"].dtype.itemsize
+        itemsize, x_reads = data["Xp"].dtype.itemsize, 1.0
     else:
         n_eff, d_eff = data["X"].shape
-        x_bytes = n_eff * d_eff * data["X"].dtype.itemsize
-    # One value+grad = forward (N,D)@(D,) + backward X^T r: 4*N*D flops/chain.
-    flops = total_leapfrogs * 4.0 * n_eff * d_eff
-    achieved_tflops = flops / wall / 1e12
-    peak_tflops, hbm_gbs = _device_peaks(device)
+        itemsize, x_reads = data["X"].dtype.itemsize, 2.0
+    flops = total_leapfrogs * glm_vag_flops(n_eff, d_eff)
+    # X is streamed once per *call* (all chains share the tile); the fused
+    # kernel reads it once per leapfrog, XLA's autodiff twice.
+    calls = total_leapfrogs / cfg["num_chains"]
+    bytes_total = calls * glm_vag_bytes(n_eff, d_eff, itemsize, x_reads)
     out = {
         "total_leapfrogs": int(total_leapfrogs),
-        "achieved_tflops": round(achieved_tflops, 2),
         "flop_count": "useful (per-chain true tree sizes; warmup estimated)",
     }
-    if peak_tflops:
-        # X is streamed once per *call* (all chains share the tile); the
-        # fused kernel reads it once per leapfrog, XLA's autodiff twice.
-        calls = total_leapfrogs / cfg["num_chains"]
-        bytes_total = calls * x_bytes * (1.0 if cfg["fused"] else 2.0)
-        ai = flops / max(bytes_total, 1.0)  # flops/byte
-        bound_tflops = min(peak_tflops, ai * hbm_gbs / 1e3)
-        out.update(
-            mfu_pct=round(100.0 * achieved_tflops / peak_tflops, 2),
-            roofline_bound_tflops=round(bound_tflops, 1),
-            roofline_frac_pct=round(100.0 * achieved_tflops / bound_tflops, 2),
-            arithmetic_intensity=round(ai, 1),
-            peak_tflops=peak_tflops,
-        )
+    out.update(roofline_report(flops, bytes_total, wall, device))
     return out
 
 
@@ -354,13 +339,15 @@ def main() -> None:
     import jax
 
     name = os.environ.get("BENCH_CONFIG") or (
-        sys.argv[1] if len(sys.argv) > 1 else "glm100"
+        sys.argv[1] if len(sys.argv) > 1 else "glm100_fused"
     )
     cfg = CONFIGS[name]
     if os.environ.get("BENCH_CHAINS"):  # chain-count sweeps without editing
         cfg = dict(cfg, num_chains=int(os.environ["BENCH_CHAINS"]))
     if os.environ.get("BENCH_TILE"):  # Pallas row-tile sweeps (fused configs)
         cfg = dict(cfg, tile_n=int(os.environ["BENCH_TILE"]))
+    if os.environ.get("BENCH_DEPTH"):  # max_tree_depth sweeps
+        cfg = dict(cfg, max_tree_depth=int(os.environ["BENCH_DEPTH"]))
     cfg = dict(cfg, label=cfg["label"].format(chains=cfg["num_chains"]))
 
     metrics, _ = _bench_config(cfg)

@@ -81,3 +81,46 @@ class TestWelford:
         )  # zero variance
         var = float(welford_finalize(state, regularize=True)[0])
         assert 0 < var < 1  # shrunk toward 1e-3*5/(n+5), not exactly 0
+
+
+class TestRoofline:
+    def test_roofline_report_known_device(self):
+        from mlx_mcmc_tpu.utils.roofline import roofline_report
+
+        class FakeDevice:
+            device_kind = "TPU v5 lite"
+
+        # 1e12 flops in 1s at AI 2048 -> bound is the 197 TFLOP/s peak.
+        rep = roofline_report(1e12, 1e12 / 2048, 1.0, FakeDevice())
+        assert rep["achieved_tflops"] == 1.0
+        assert rep["peak_tflops"] == 197.0
+        assert rep["roofline_bound_tflops"] == 197.0
+        assert abs(rep["mfu_pct"] - 100.0 / 197.0) < 0.01
+
+    def test_roofline_bandwidth_bound(self):
+        from mlx_mcmc_tpu.utils.roofline import roofline_report
+
+        class FakeDevice:
+            device_kind = "TPU v5 lite"
+
+        # AI = 1 flop/byte -> bound = 819 GB/s * 1 = 0.819 TFLOP/s.
+        rep = roofline_report(1e12, 1e12, 2.0, FakeDevice())
+        assert rep["roofline_bound_tflops"] == 0.8
+        assert rep["roofline_frac_pct"] > 50.0
+
+    def test_unknown_device_graceful(self):
+        from mlx_mcmc_tpu.utils.roofline import roofline_report
+
+        class FakeDevice:
+            device_kind = "Mystery Accelerator"
+
+        rep = roofline_report(1e12, 1e9, 1.0, FakeDevice())
+        assert "mfu_pct" not in rep
+        assert rep["achieved_tflops"] == 1.0
+
+    def test_glm_flop_byte_models(self):
+        from mlx_mcmc_tpu.utils.roofline import glm_vag_bytes, glm_vag_flops
+
+        assert glm_vag_flops(1000, 100, chains=2) == 4 * 1000 * 100 * 2
+        assert glm_vag_bytes(1000, 100, itemsize=2) == 2 * 1000 * 100
+        assert glm_vag_bytes(1000, 100, itemsize=4, x_reads=2) == 8 * 1000 * 100
