@@ -67,17 +67,21 @@ class MCMC:
 
         ``chain_method``: 'vmap' batches all chains on one device; 'sharded'
         shards them across the device mesh with collective adaptation
-        (hmc/nuts; requires num_chains divisible by the device count).
+        (metropolis/hmc/nuts/chees/mala; requires num_chains divisible by the
+        device count). Sharded metropolis uses the engine's standard
+        adaptive warmup rather than the reference's facade-managed
+        warmup-restart (the two differ only in the RNG stream).
         """
         if method not in ("metropolis", "hmc", "nuts", "chees", "mala", "ensemble"):
             raise ValueError(f"Unknown sampling method: {method}")
         if chain_method not in ("vmap", "sharded"):
             raise ValueError(f"Unknown chain_method: {chain_method}")
         if chain_method == "sharded":
-            if method == "metropolis":
+            if method == "ensemble":
                 raise ValueError(
-                    "chain_method='sharded' supports hmc/nuts (metropolis "
-                    "warmup is facade-managed and single-program)"
+                    "chain_method='sharded' supports metropolis/hmc/nuts/"
+                    "chees/mala (the ensemble sampler couples walkers and "
+                    "has its own driver)"
                 )
             from mlx_mcmc_tpu.parallel.sharded import sample_sharded
 

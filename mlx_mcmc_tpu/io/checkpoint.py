@@ -86,6 +86,8 @@ def _save_warmup_npz(path: str, ckpt: Dict[str, Any]) -> None:
             "seed", "dim",
         )
     }
+    meta["sampler_kwargs"] = ckpt.get("sampler_kwargs", {})
+    meta["data_fingerprint"] = ckpt.get("data_fingerprint")
     meta["param_names"] = list(ckpt["positions"].keys())
     meta["n_adapt"] = len(ckpt["adapt_leaves"])
     meta["n_traj"] = len(ckpt["traj_leaves"])
@@ -109,6 +111,8 @@ def _load_warmup_npz(data, meta) -> Dict[str, Any]:
         "kernel": meta["kernel"],
         "seed": int(meta["seed"]),
         "dim": int(meta["dim"]),
+        "sampler_kwargs": meta.get("sampler_kwargs", {}),
+        "data_fingerprint": meta.get("data_fingerprint"),
         "positions": {k: data[f"pos_{k}"] for k in meta["param_names"]},
         "adapt_leaves": [data[f"adapt_{i}"] for i in range(meta["n_adapt"])],
         "traj_leaves": [data[f"traj_{i}"] for i in range(meta["n_traj"])],
@@ -136,9 +140,12 @@ def _orbax_save(path: str, state: Dict[str, Any]) -> None:
                 "step_size": np.float32(state["step_size"]),
                 "num_chains": np.int32(state["num_chains"]),
                 "draws_completed": np.int32(state["draws_completed"]),
-                "kernel_id": np.int32(
-                    ["metropolis", "hmc", "nuts"].index(state["kernel"])
-                ),
+                # The kernel NAME as ascii codes (Orbax stores arrays, not
+                # strings) — an index into a hardcoded kernel list broke for
+                # every kernel added after it was written (chees/mala/...).
+                "kernel_name": np.frombuffer(
+                    state["kernel"].encode("ascii"), dtype=np.uint8
+                ).copy(),
             },
             force=True,
         )
@@ -149,11 +156,15 @@ def _orbax_load(path: str) -> Dict[str, Any]:
 
     with ocp.StandardCheckpointer() as ckptr:
         tree = ckptr.restore(os.path.abspath(path))
+    if "kernel_name" in tree:
+        kernel = bytes(np.asarray(tree["kernel_name"])).decode("ascii")
+    else:  # legacy checkpoints (kernel_id index)
+        kernel = ["metropolis", "hmc", "nuts"][int(tree["kernel_id"])]
     return {
         "positions": dict(tree["positions"]),
         "step_size": float(tree["step_size"]),
         "inv_mass_diag": np.asarray(tree["inv_mass_diag"]),
-        "kernel": ["metropolis", "hmc", "nuts"][int(tree["kernel_id"])],
+        "kernel": kernel,
         "num_chains": int(tree["num_chains"]),
         "draws_completed": int(tree["draws_completed"]),
     }
@@ -295,8 +306,41 @@ def _warmup_run(
     return result, unravel, dim
 
 
+def _data_fingerprint(data):
+    """Cheap structural fingerprint of the ``data`` pytree (leaf paths,
+    shapes, dtypes) — enough to catch "resumed with a different dataset"
+    without hashing multi-GB arrays."""
+    import jax
+
+    if data is None:
+        return None
+    return [
+        [
+            jax.tree_util.keystr(path),
+            list(np.shape(leaf)),
+            # .dtype avoids a host copy for device arrays; plain Python
+            # scalars fall back through np.asarray (tiny).
+            str(leaf.dtype if hasattr(leaf, "dtype") else np.asarray(leaf).dtype),
+        ]
+        for path, leaf in jax.tree_util.tree_flatten_with_path(data)[0]
+    ]
+
+
+def _storable_kwargs(kwargs: Dict[str, Any]) -> Dict[str, Any]:
+    """The JSON-serializable sampler kwargs. Callables (value_and_grad_fn,
+    progress callbacks) cannot be checkpointed and must be re-passed on
+    resume; everything scalar is recorded so a resume cannot silently run
+    with different tunables than the original segment."""
+    return {
+        k: v
+        for k, v in kwargs.items()
+        if isinstance(v, (bool, int, float, str)) or v is None
+    }
+
+
 def _warmup_ckpt_dict(
-    result, unravel, *, step, num_warmup, num_chains, kernel, seed, dim
+    result, unravel, *, step, num_warmup, num_chains, kernel, seed, dim,
+    sampler_kwargs=None, data_fingerprint=None,
 ):
     import jax
 
@@ -309,6 +353,8 @@ def _warmup_ckpt_dict(
         "kernel": kernel,
         "seed": int(seed),
         "dim": int(dim),
+        "sampler_kwargs": dict(sampler_kwargs or {}),
+        "data_fingerprint": data_fingerprint,
         # dict of (chains, *event) arrays — carries the param structure, so
         # resume_warmup can rebuild the flat<->dict mapping without the
         # original initial_params.
@@ -362,6 +408,14 @@ def run_warmup(
     """
     if not 0 < stop <= num_warmup:
         raise ValueError(f"stop must be in (0, {num_warmup}], got {stop}")
+    if not isinstance(seed, (int, np.integer)):
+        # sample() also accepts PRNG-key seeds, but a checkpoint must record
+        # the seed as a plain int to re-derive the identical key stream on
+        # resume; fail BEFORE running the (possibly long) warmup segment.
+        raise TypeError(
+            "run_warmup requires an int seed (PRNG-key seeds cannot be "
+            f"serialized into a warmup checkpoint), got {type(seed).__name__}"
+        )
     result, unravel, dim = _warmup_run(
         log_prob_fn,
         initial_params,
@@ -387,6 +441,8 @@ def run_warmup(
         kernel=kernel,
         seed=seed,
         dim=dim,
+        sampler_kwargs=dict(_storable_kwargs(kwargs), jitter=jitter),
+        data_fingerprint=_data_fingerprint(data),
     )
 
 
@@ -420,6 +476,34 @@ def resume_warmup(
     partial = stop is not None and stop < num_warmup
     if stop is not None and not start < stop <= num_warmup:
         raise ValueError(f"stop must be in ({start}, {num_warmup}], got {stop}")
+
+    # Re-apply the original segment's sampler kwargs; a silent mismatch
+    # (different max_tree_depth/target_accept/adapt flags) would void the
+    # bit-exactness guarantee without any error. Caller kwargs may ADD
+    # non-serializable options (value_and_grad_fn) but may not contradict
+    # what the checkpoint recorded.
+    stored = dict(checkpoint.get("sampler_kwargs") or {})
+    jitter_stored = stored.pop("jitter", 0.0)  # positions already jittered
+    del jitter_stored
+    for k, v in stored.items():
+        if k in kwargs and kwargs[k] != v:
+            raise ValueError(
+                f"resume_warmup: kwarg {k}={kwargs[k]!r} contradicts the "
+                f"checkpointed run's {k}={v!r}; resuming with different "
+                "sampler settings is not bit-exact (pass matching values "
+                "or re-run warmup from scratch)"
+            )
+        kwargs.setdefault(k, v)
+    stored_fp = checkpoint.get("data_fingerprint")
+    if stored_fp is not None:
+        fp = _data_fingerprint(data)
+        if fp != [list(e) for e in stored_fp]:
+            raise ValueError(
+                "resume_warmup: the provided `data` pytree does not match "
+                "the checkpointed run's data (structure/shape/dtype "
+                f"fingerprint differs):\n  checkpoint: {stored_fp}\n"
+                f"  provided:   {fp}"
+            )
 
     import jax
 
@@ -457,6 +541,8 @@ def resume_warmup(
             kernel=kernel,
             seed=checkpoint["seed"],
             dim=dim,
+            sampler_kwargs=checkpoint.get("sampler_kwargs"),
+            data_fingerprint=checkpoint.get("data_fingerprint"),
         )
     from mlx_mcmc_tpu.inference.api import MCMCResult
 

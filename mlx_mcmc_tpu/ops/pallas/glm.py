@@ -324,7 +324,7 @@ def make_fused_linear_vag(
 
 def prepare_fused_linear_data(
     X, y, noise_scale: float = 1.0, tile_n: int = _DEFAULT_TILE_N,
-    quantize: str | None = None,
+    quantize: str | None = None, num_shards: int = 1,
 ) -> dict:
     """Pack a linear-regression dataset for :func:`make_fused_linear_vag`.
     (int8 is not offered here — bf16 X is the measured sweet spot and the
@@ -333,6 +333,13 @@ def prepare_fused_linear_data(
     The noise scale and tile size travel inside the data pytree (``tile`` is
     a zero-byte shape marker), so the vag factory always agrees with the
     padding.
+
+    ``num_shards``: for data-sharded sampling (``sample_sharded(...,
+    data_axis=...)``) set this to the data-axis size. Rows pad to
+    ``num_shards * tile_n`` (each shard's local rows stay a tile multiple;
+    zero rows contribute exactly nothing to a Gaussian sum-of-squares) and
+    the log-normalizer constant is divided by ``num_shards`` so the psum over
+    shards adds it back exactly once.
     """
     import math
 
@@ -340,8 +347,8 @@ def prepare_fused_linear_data(
         raise ValueError("linear kernel supports f32/bf16 X only")
     X = jnp.asarray(X)
     n, d = X.shape
-    Xp, yp = _pad_data(X, jnp.asarray(y), tile_n)
-    ll_norm = -0.5 * n * math.log(2.0 * math.pi * noise_scale**2)
+    Xp, yp = _pad_data(X, jnp.asarray(y), tile_n * num_shards)
+    ll_norm = -0.5 * n * math.log(2.0 * math.pi * noise_scale**2) / num_shards
     return {
         "Xp": Xp,
         "yp": yp,

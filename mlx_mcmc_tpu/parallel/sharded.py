@@ -213,13 +213,39 @@ def sample_sharded(
         data_in_spec = P()
     elif data_specs is not None:
         data_in_spec = data_specs
+    elif isinstance(data, dict) and {"Xp", "yp", "dim", "tile"} <= set(data):
+        # A fused-GLM data pytree (ops/pallas/glm.py prepare_fused_*_data):
+        # apply its known spec automatically — the generic heuristic would
+        # shard the zero-byte shape markers and fail with an opaque
+        # divisibility error.
+        from mlx_mcmc_tpu.ops.pallas.glm import fused_data_specs
+
+        data_in_spec = fused_data_specs(data, data_axis)
     else:
-        # Shard every non-scalar leaf's leading axis; replicate scalars.
-        # Pytrees carrying shape-marker leaves (e.g. the fused-GLM 'dim'
-        # marker) need explicit data_specs.
-        data_in_spec = jax.tree_util.tree_map(
-            lambda leaf: P(data_axis) if jnp.ndim(leaf) >= 1 else P(), data
-        )
+        # Shard each non-scalar leaf's leading axis when it divides the data
+        # axis; otherwise replicate (with a warning) — small replicated
+        # vectors and shape-marker leaves must not be force-sharded.
+        import warnings
+
+        n_shards = mesh.shape[data_axis]
+        replicated = []
+
+        def leaf_spec(path, leaf):
+            if jnp.ndim(leaf) >= 1 and jnp.shape(leaf)[0] % n_shards == 0 and jnp.shape(leaf)[0] > 0:
+                return P(data_axis)
+            if jnp.ndim(leaf) >= 1:
+                replicated.append(jax.tree_util.keystr(path))
+            return P()
+
+        data_in_spec = jax.tree_util.tree_map_with_path(leaf_spec, data)
+        if replicated:
+            warnings.warn(
+                "sample_sharded: replicating data leaves whose leading axis "
+                f"is not divisible by the {data_axis!r} mesh axis "
+                f"({n_shards}): {replicated}. Pass data_specs to control "
+                "this explicitly.",
+                stacklevel=2,
+            )
 
     sharded = shard_map(
         shard_run,

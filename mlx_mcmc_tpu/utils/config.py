@@ -35,6 +35,7 @@ class SamplerConfig:
     step_size: object = "auto"
     num_leapfrog_steps: int = 10  # hmc only
     max_tree_depth: int = 10  # nuts only
+    max_leapfrog_steps: int = 1000  # chees only: trajectory-length cap
     seed: int = 0
     jitter: float = 0.0
     adaptation: AdaptationConfig = field(default_factory=AdaptationConfig)
@@ -47,10 +48,15 @@ class SamplerConfig:
             adapt_mass_matrix=ad["adapt_mass_matrix"],
             target_accept=ad["target_accept"],
         )
+        # Keep only the knobs the selected kernel consumes (metropolis/mala
+        # take none of the trajectory knobs; their tuning is step_size +
+        # adaptation flags, which always pass through).
         if self.kernel != "hmc":
             kw.pop("num_leapfrog_steps")
         if self.kernel != "nuts":
             kw.pop("max_tree_depth")
+        if self.kernel != "chees":
+            kw.pop("max_leapfrog_steps")
         return kw
 
 

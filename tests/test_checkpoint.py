@@ -137,6 +137,68 @@ class TestMidWarmupResume:
                 num_chains=2,
             )
 
+    def test_key_seed_rejected_early(self):
+        # sample() accepts PRNG-key seeds, but a warmup checkpoint must
+        # record a plain int to rebuild the key stream — fail BEFORE the
+        # warmup segment runs, not after.
+        import jax
+
+        from mlx_mcmc_tpu.io import run_warmup
+
+        with pytest.raises(TypeError, match="int seed"):
+            run_warmup(
+                _model, {"x": jnp.zeros(2)}, num_warmup=50, stop=10,
+                num_chains=2, seed=jax.random.PRNGKey(0),
+            )
+
+    def test_resume_rejects_contradicting_kwargs(self):
+        from mlx_mcmc_tpu.io import resume_warmup, run_warmup
+
+        ckpt = run_warmup(
+            _model, {"x": jnp.zeros(2)}, num_warmup=60, stop=20,
+            num_chains=2, kernel="nuts", seed=0, max_tree_depth=6,
+        )
+        # Same value: fine (and also implied when omitted).
+        resume_warmup(_model, ckpt, stop=30, max_tree_depth=6)
+        with pytest.raises(ValueError, match="max_tree_depth"):
+            resume_warmup(_model, ckpt, stop=30, max_tree_depth=8)
+
+    def test_resume_reapplies_stored_kwargs(self):
+        """Omitting a kwarg on resume must reproduce the original run
+        (the checkpoint re-applies it), not silently fall back to the
+        default."""
+        from mlx_mcmc_tpu.io import resume_warmup, run_warmup
+
+        kwargs = dict(num_chains=2, kernel="nuts", seed=5, max_tree_depth=4)
+        full = sample(
+            _model, {"x": jnp.zeros(2)}, num_warmup=60, num_samples=20,
+            **kwargs,
+        )
+        ckpt = run_warmup(
+            _model, {"x": jnp.zeros(2)}, num_warmup=60, stop=25, **kwargs
+        )
+        res = resume_warmup(_model, ckpt, num_samples=20)  # no kwargs
+        np.testing.assert_array_equal(
+            np.asarray(res.samples["x"]), np.asarray(full.samples["x"])
+        )
+
+    def test_resume_rejects_mismatched_data(self):
+        from mlx_mcmc_tpu.io import resume_warmup, run_warmup
+
+        def model_with_data(params, data=None):
+            return jnp.sum(Normal(data["mu"], 1.0).log_prob(params["x"]))
+
+        data = {"mu": jnp.ones(3)}
+        ckpt = run_warmup(
+            model_with_data, {"x": jnp.zeros(3)}, num_warmup=60, stop=20,
+            num_chains=2, data=data,
+        )
+        resume_warmup(model_with_data, ckpt, stop=30, data=data)  # ok
+        with pytest.raises(ValueError, match="data"):
+            resume_warmup(
+                model_with_data, ckpt, stop=30, data={"mu": jnp.ones(4)}
+            )
+
 
 class TestConfig:
     def test_sampler_config_roundtrip(self):
@@ -155,22 +217,49 @@ class TestConfig:
     def test_config_drops_irrelevant_kernel_fields(self):
         kw = SamplerConfig(kernel="nuts").to_kwargs()
         assert "num_leapfrog_steps" not in kw
+        assert "max_leapfrog_steps" not in kw
         assert kw["max_tree_depth"] == 10
         kw = SamplerConfig(kernel="hmc").to_kwargs()
         assert "max_tree_depth" not in kw
+        assert "max_leapfrog_steps" not in kw
+
+    def test_config_chees_trajectory_cap(self):
+        kw = SamplerConfig(kernel="chees", max_leapfrog_steps=64).to_kwargs()
+        assert kw["max_leapfrog_steps"] == 64
+        assert "max_tree_depth" not in kw
+        cfg = SamplerConfig(
+            kernel="chees", num_samples=60, num_warmup=80, num_chains=2,
+            max_leapfrog_steps=32,
+        )
+        res = sample(_model, {"x": jnp.zeros(2)}, config=cfg)
+        assert res.samples["x"].shape == (2, 60, 2)
+
+    @pytest.mark.parametrize("kernel", ["metropolis", "mala"])
+    def test_config_gradient_free_kernels(self, kernel):
+        cfg = SamplerConfig(
+            kernel=kernel, num_samples=50, num_warmup=50, num_chains=2
+        )
+        kw = cfg.to_kwargs()
+        for k in ("num_leapfrog_steps", "max_tree_depth", "max_leapfrog_steps"):
+            assert k not in kw
+        res = sample(_model, {"x": jnp.zeros(2)}, config=cfg)
+        assert res.samples["x"].shape == (2, 50, 2)
 
 
 class TestOrbaxBackend:
-    def test_orbax_roundtrip(self, tmp_path):
+    # chees/mala are the regression cases: the old kernel_id index only knew
+    # metropolis/hmc/nuts and raised ValueError at save time for any other.
+    @pytest.mark.parametrize("kernel", ["nuts", "chees", "mala"])
+    def test_orbax_roundtrip(self, tmp_path, kernel):
         pytest.importorskip("orbax.checkpoint")
         res = sample(
             _model, {"x": jnp.zeros(2)}, num_samples=100, num_warmup=100,
-            num_chains=2, kernel="nuts", seed=0,
+            num_chains=2, kernel=kernel, seed=0,
         )
         path = str(tmp_path / "ckpt_orbax")
         save_checkpoint(path, res, backend="orbax")
         ckpt = load_checkpoint(path)
-        assert ckpt["kernel"] == "nuts"
+        assert ckpt["kernel"] == kernel
         np.testing.assert_allclose(
             ckpt["inv_mass_diag"], np.asarray(res.tunables.inv_mass_diag),
             rtol=1e-6,

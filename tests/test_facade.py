@@ -159,10 +159,27 @@ class TestChainMethod:
         assert samples["mu"].shape == (2400,)
         assert abs(samples["mu"].mean() - float(data.mean())) < 0.3
 
-    def test_sharded_metropolis_rejected(self, data):
-        with pytest.raises(ValueError, match="sharded"):
+    def test_sharded_metropolis_supported(self, data):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        samples = MCMC(_model(data)).run(
+            {"mu": 0.0, "sigma": 1.0},
+            num_samples=300,
+            num_warmup=300,
+            method="metropolis",
+            num_chains=8,
+            chain_method="sharded",
+            verbose=False,
+        )
+        assert samples["mu"].shape == (2400,)
+        assert abs(samples["mu"].mean() - float(data.mean())) < 0.5
+
+    def test_sharded_ensemble_rejected(self, data):
+        with pytest.raises(ValueError, match="ensemble"):
             MCMC(_model(data)).run(
-                {"mu": 0.0}, method="metropolis", chain_method="sharded",
+                {"mu": 0.0}, method="ensemble", chain_method="sharded",
                 verbose=False,
             )
 
