@@ -77,6 +77,7 @@ def make_kernel(kernel: str, flat_log_prob: Callable, **kwargs):
             flat_log_prob,
             max_tree_depth=kwargs.get("max_tree_depth", 10),
             value_and_grad_fn=kwargs.get("value_and_grad_fn"),
+            static_schedule=kwargs.get("static_schedule", False),
         )
     if kernel == "mala":
         return make_mala_kernel(

@@ -108,11 +108,23 @@ def make_nuts_kernel(
     max_tree_depth: int = 10,
     max_delta_energy: float = DELTA_MAX,
     value_and_grad_fn=None,
+    static_schedule: bool = False,
 ) -> Tuple[Callable, Callable]:
     """Build ``(init_fn, step_fn)`` for iterative multinomial NUTS.
 
     State is shared with HMC (:class:`HMCState`): position + cached
     log-prob/gradient, so one gradient evaluation per leapfrog step total.
+
+    ``static_schedule=True`` replaces the data-dependent ``while_loop`` with
+    a fixed-trip-count scan of ``2**max_tree_depth - 1`` masked iterations
+    (finished chains carry through unchanged). The draws are BIT-IDENTICAL
+    to the dynamic variant — only the execution schedule changes: every
+    chain row executes exactly the same number of likelihood evaluations,
+    so collectives inside ``value_and_grad_fn`` (observation sharding's
+    per-leapfrog ``psum``, parallel/sharded.py) fire uniformly across the
+    mesh instead of a per-row data-dependent number of times. The price is
+    running every draw at the depth cap; use a realistic ``max_tree_depth``
+    (6-8) rather than the default 10 when enabling this.
     """
     leapfrog = make_leapfrog(flat_log_prob, value_and_grad_fn)
     value_and_grad = value_and_grad_fn or jax.value_and_grad(flat_log_prob)
@@ -309,7 +321,23 @@ def make_nuts_kernel(
                 r_sum_ckpts=r_sum_ckpts,
             )
 
-        tree = jax.lax.while_loop(cond, body, carry0)
+        if static_schedule:
+            # Fixed trip count: run 2^max_tree_depth - 1 iterations always,
+            # freezing the carry once the dynamic loop would have exited.
+            # The wasted iterations still evaluate the (masked-out) leapfrog,
+            # keeping any in-likelihood collective schedule uniform.
+            def scan_body(c, _):
+                active = cond(c)
+                c_next = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(active, a, b), body(c), c
+                )
+                return c_next, None
+
+            tree, _ = jax.lax.scan(
+                scan_body, carry0, None, length=(1 << max_tree_depth) - 1
+            )
+        else:
+            tree = jax.lax.while_loop(cond, body, carry0)
 
         new_state = HMCState(
             position=tree.proposal.z,

@@ -17,10 +17,13 @@ model" row): with ``data_axis`` set, the dataset is additionally sharded over
 a second mesh axis and every log-density (and fused value+grad) evaluation
 reduces the shard-local likelihood contributions with an in-loop
 ``lax.psum`` — the MCMC analog of tensor/sequence parallelism, for datasets
-that exceed one chip's HBM. Only statically-scheduled kernels are allowed on
-the data axis (hmc/chees/mala/metropolis): a collective inside NUTS's
-data-dependent tree loop would let collective counts diverge across chain
-rows, which deadlocks collective matching (XLA CPU deadlocks outright).
+that exceed one chip's HBM. Every kernel on the data axis must have a static
+collective schedule: a collective inside NUTS's data-dependent tree loop
+would let collective counts diverge across chain rows, which deadlocks
+collective matching (XLA CPU deadlocks outright). hmc/chees/mala/metropolis
+are static by construction; nuts is automatically switched to its
+fixed-trip-count tree build (``static_schedule=True``, bit-identical draws,
+see kernels/nuts.py).
 """
 
 from __future__ import annotations
@@ -93,9 +96,11 @@ def sample_sharded(
     ``data_specs`` optionally gives per-leaf PartitionSpecs for ``data``; by
     default every non-scalar leaf shards its leading axis.
 
-    Kernels with data-dependent collective schedules (nuts) are rejected on
-    the data axis — use hmc/chees/mala, whose static trip counts keep the
-    psum schedule identical on every device.
+    On the data axis every kernel runs a static collective schedule; nuts is
+    automatically switched to ``static_schedule=True`` (a fixed
+    ``2**max_tree_depth - 1`` masked-leapfrog tree build, bit-identical
+    draws) so the per-leapfrog psum count is uniform across chain rows —
+    pass a modest ``max_tree_depth`` (6-8) to bound the fixed cost.
     """
     step_size = resolve_step_size(step_size, kernel, adapt_step_size)
     if mesh is None:
@@ -115,13 +120,21 @@ def sample_sharded(
                 f"data_axis {data_axis!r} not in mesh axes {tuple(mesh.shape)}"
             )
         if kernel == "nuts":
-            raise ValueError(
-                "kernel='nuts' cannot be data-sharded: its tree loop has a "
-                "data-dependent trip count, so the per-leapfrog psum count "
-                "would diverge across chain rows and deadlock collective "
-                "matching. Use 'hmc' or 'chees' (static integration "
-                "schedules) with data_axis."
-            )
+            # NUTS's dynamic tree loop has a data-dependent trip count; a
+            # psum inside it fires a per-chain-row number of times, which
+            # breaks collective matching. The static-schedule variant runs
+            # every draw at the depth cap (2^max_tree_depth - 1 masked
+            # leapfrogs, bit-identical draws), making the psum schedule
+            # uniform — mandatory on the data axis. Cost: ~(2^d - 1)/mean
+            # leaves more likelihood math; keep max_tree_depth modest (6-8).
+            if kernel_kwargs.get("static_schedule") is False:
+                raise ValueError(
+                    "kernel='nuts' with data_axis requires the static "
+                    "schedule (static_schedule=True, the default here): a "
+                    "data-dependent tree loop would desynchronize the "
+                    "per-leapfrog psum across chain rows"
+                )
+            kernel_kwargs["static_schedule"] = True
         user_log_prob = log_prob_fn
 
         def log_prob_fn(params, shard):  # noqa: F811 - deliberate rebind

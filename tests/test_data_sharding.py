@@ -3,9 +3,10 @@
 The data axis shards the dataset over a second mesh axis; every energy /
 gradient evaluation psums the shard-local likelihood contributions. These
 tests check the sharded posterior against the replicated-data path on the
-8-device virtual CPU mesh, for every statically-scheduled kernel (hmc, chees,
-mala, metropolis), including the fused value+grad protocol; and that NUTS
-(data-dependent collective count) is rejected.
+8-device virtual CPU mesh for every kernel — hmc/chees/mala/metropolis are
+statically scheduled by construction, nuts via its fixed-trip-count tree
+build (auto-enabled on the data axis) — including the fused value+grad
+protocol.
 """
 
 import jax
@@ -198,9 +199,46 @@ class TestDataSharding:
             atol=1e-6,
         )
 
-    def test_nuts_rejected_on_data_axis(self, eight_devices):
+    def test_nuts_data_sharded_matches_replicated(self, eight_devices):
+        """Data-sharded NUTS rides the static-schedule tree build (auto-set):
+        the per-leapfrog psum count is uniform across chain rows, and the
+        draws match the replicated-data run (whose static_schedule draws are
+        in turn bit-identical to dynamic NUTS, test_nuts.py)."""
         spec = _spec()
-        with pytest.raises(ValueError, match="data-sharded"):
+        data = {"X": spec.X, "y": spec.y}
+        kwargs = dict(
+            num_samples=5,
+            num_warmup=5,
+            num_chains=4,
+            kernel="nuts",
+            max_tree_depth=4,
+            seed=0,
+            step_size=0.05,
+            adapt_step_size=False,
+            adapt_mass_matrix=False,
+        )
+        sharded = sample_sharded(
+            _local_loglik,
+            spec.initial_params,
+            mesh=data_chain_mesh(2, 4),
+            data=data,
+            data_axis="data",
+            log_prior_fn=_log_prior,
+            **kwargs,
+        )
+        replicated = sample(
+            _full_model, spec.initial_params, data=data, **kwargs
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded.samples["beta"]),
+            np.asarray(replicated.samples["beta"]),
+            rtol=2e-3,
+            atol=2e-4,
+        )
+
+    def test_nuts_dynamic_schedule_rejected_on_data_axis(self, eight_devices):
+        spec = _spec()
+        with pytest.raises(ValueError, match="static"):
             sample_sharded(
                 _local_loglik,
                 spec.initial_params,
@@ -209,6 +247,7 @@ class TestDataSharding:
                 data_axis="data",
                 log_prior_fn=_log_prior,
                 kernel="nuts",
+                static_schedule=False,
                 num_samples=2,
                 num_warmup=2,
                 num_chains=4,

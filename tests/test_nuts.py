@@ -60,6 +60,30 @@ class TestNUTS:
             np.asarray(a.samples["x"]), np.asarray(b.samples["x"])
         )
 
+    def test_static_schedule_bit_identical(self):
+        """static_schedule=True changes only the execution schedule (fixed
+        2^depth-1 masked iterations for collective uniformity); every draw
+        and every diagnostic must be bit-identical to the dynamic loop."""
+        kwargs = dict(
+            num_samples=150, num_warmup=150, num_chains=2, kernel="nuts",
+            seed=11, max_tree_depth=5,
+        )
+        dyn = sample(_std_normal, {"x": jnp.zeros(3)}, **kwargs)
+        sta = sample(
+            _std_normal, {"x": jnp.zeros(3)}, static_schedule=True, **kwargs
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dyn.samples["x"]), np.asarray(sta.samples["x"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dyn.info.num_integration_steps),
+            np.asarray(sta.info.num_integration_steps),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dyn.info.is_divergent), np.asarray(sta.info.is_divergent)
+        )
+        assert float(dyn.tunables.step_size) == float(sta.tunables.step_size)
+
     def test_max_tree_depth_bounds_steps(self):
         for depth in (3, 6):
             res = sample(
