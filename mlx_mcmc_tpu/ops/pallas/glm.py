@@ -62,10 +62,20 @@ def _fused_kernel(x_ref, y_ref, bt_ref, ll_ref, g_ref):
     not a sampling-correctness issue, since current and proposed states are
     evaluated identically.
 
-    Transcendentals are shared: one ``exp(-|s|)`` feeds both the softplus in
-    the log-likelihood and the sigmoid in the residual — the elementwise
-    epilogue is a VPU-bound term comparable to the matmuls at wide chain
-    counts, so a 3-transcendental formulation measurably costs.
+    The elementwise epilogue is the VPU/EUP-bound term that separates this
+    kernel from its matmul-only floor (measured 0.357 vs 0.199 ms/call at
+    10K x 128 x 4096, benchmarks/glm_kernel_variants.py), so it uses the
+    cheapest branch-free formulation found: with ``h = tanh(s/2)``,
+
+        sigmoid(s)  = 0.5 + 0.5*h
+        softplus(s) = max(s, 0) - log(0.5 + 0.5*|h|)
+
+    (the second identity is softplus(s) = max(s,0) - log(sigmoid(|s|));
+    for |s| large sigmoid(|s|) rounds to 1.0 and the log term returns 0
+    with absolute error < 6e-8 — below the bf16 matmul rounding already
+    present). Two EUP transcendentals (tanh, log) and no abs/exp/
+    reciprocal/select chain: 0.234 ms/call, a 34% kernel speedup over the
+    shared-exp epilogue this replaces.
     """
     i = pl.program_id(1)  # inner: row tile
 
@@ -84,16 +94,11 @@ def _fused_kernel(x_ref, y_ref, bt_ref, ll_ref, g_ref):
     bt = bt_ref[:]  # (Dp, c_tile), matches the compute dtype of x
 
     s = jnp.dot(x, bt, preferred_element_type=jnp.float32)  # (TILE_N, Ct) MXU
-    # Shared-exp epilogue: t = exp(-|s|) in (0, 1].
-    #   sigmoid(s)  = where(s >= 0, 1/(1+t), t/(1+t))
-    #   softplus(s) = log1p(t) + max(s, 0)
-    t = jnp.exp(-jnp.abs(s))
-    inv1pt = 1.0 / (1.0 + t)
-    sig = jnp.where(s >= 0.0, inv1pt, t * inv1pt)
+    h = jnp.tanh(0.5 * s)
+    sig = 0.5 + 0.5 * h
     r = y - sig  # residual (TILE_N, Ct) f32
-    ll_tile = jnp.sum(
-        y * s - (jnp.log1p(t) + jnp.maximum(s, 0.0)), axis=0, keepdims=True
-    )
+    softplus = jnp.maximum(s, 0.0) - jnp.log(0.5 + 0.5 * jnp.abs(h))
+    ll_tile = jnp.sum(y * s - softplus, axis=0, keepdims=True)
 
     ll_ref[:] += ll_tile
     # X^T r while the X tile is still in VMEM: (Dp, TILE_N) @ (TILE_N, Ct).
