@@ -220,7 +220,9 @@ def _mfu_detail(result, cfg, data, wall: float, device) -> dict:
 
     steps = np.asarray(result.info.num_integration_steps, np.float64)
     sampling_leapfrogs = float(steps.sum())  # sum over (chains, draws)
-    scale = 1.0 + cfg["num_warmup"] / cfg["num_samples"]
+    # With thin>1 each stored draw aggregates `thin` transitions' counters,
+    # so the sampling phase covers num_samples*thin steps.
+    scale = 1.0 + cfg["num_warmup"] / (cfg["num_samples"] * cfg.get("thin", 1))
     total_leapfrogs = sampling_leapfrogs * scale
     if cfg["fused"]:
         n_eff, d_eff = data["Xp"].shape  # padded dims: real kernel work
@@ -263,6 +265,11 @@ def _bench_config(cfg, target_accept=0.8):
             seed=seed,
             max_tree_depth=cfg["max_tree_depth"],
             target_accept=target_accept,
+            # thin>1 keeps every thin-th draw: the draw-store is the HBM
+            # ceiling at very wide chain counts (8192 chains x 500 draws x
+            # 100 params f32 = 1.6GB), so thinning trades stored draws for
+            # chains. ESS is computed on the stored draws.
+            thin=cfg.get("thin", 1),
             **extra,
         )
 
@@ -344,10 +351,14 @@ def main() -> None:
     cfg = CONFIGS[name]
     if os.environ.get("BENCH_CHAINS"):  # chain-count sweeps without editing
         cfg = dict(cfg, num_chains=int(os.environ["BENCH_CHAINS"]))
+    if os.environ.get("BENCH_SAMPLES"):  # draw-count override (storage sweeps)
+        cfg = dict(cfg, num_samples=int(os.environ["BENCH_SAMPLES"]))
     if os.environ.get("BENCH_TILE"):  # Pallas row-tile sweeps (fused configs)
         cfg = dict(cfg, tile_n=int(os.environ["BENCH_TILE"]))
     if os.environ.get("BENCH_DEPTH"):  # max_tree_depth sweeps
         cfg = dict(cfg, max_tree_depth=int(os.environ["BENCH_DEPTH"]))
+    if os.environ.get("BENCH_THIN"):  # draw-store thinning (wide-chain runs)
+        cfg = dict(cfg, thin=int(os.environ["BENCH_THIN"]))
     cfg = dict(cfg, label=cfg["label"].format(chains=cfg["num_chains"]))
 
     metrics, _ = _bench_config(cfg)

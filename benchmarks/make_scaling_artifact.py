@@ -1,0 +1,133 @@
+"""Produce the committed scaling artifact (SCALING_r{N}.json).
+
+Two measured tables (BASELINE.md north star: >= 90% linear scaling of
+effective samples/s; the reference promises this workload table at
+README.md:105-113 but never measured it):
+
+1. ``chain_scaling``: single-chip throughput vs chain count on the flagship
+   glm100_fused config (real TPU). The chain axis rides the MXU lane
+   dimension, so min-ESS/s should grow ~linearly until the draw store hits
+   HBM; the 8192-row uses thin=2 + 250 stored draws (same transition count,
+   half the storage) to fit.
+2. ``weak_scaling``: benchmarks/scaling.py weak scaling over the 'chains'
+   mesh axis. On real multi-chip hardware this measures the target; on the
+   8-device virtual CPU mesh (this environment) it REHEARSES the measurement
+   end-to-end — harness, collectives and shardings identical, absolute
+   numbers meaningless (all "devices" share one socket); the artifact labels
+   which one it is.
+
+Usage: timeout 7200 python benchmarks/make_scaling_artifact.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHAIN_ROWS = [
+    # (chains, num_samples, thin)
+    (1024, 500, 1),
+    (2048, 500, 1),
+    (4096, 500, 1),
+    (8192, 250, 2),
+]
+
+
+def run_bench_row(chains: int, num_samples: int, thin: int) -> dict:
+    env = dict(
+        os.environ,
+        BENCH_CONFIG="glm100_fused",
+        BENCH_CHAINS=str(chains),
+        BENCH_SAMPLES=str(num_samples),
+        BENCH_THIN=str(thin),
+        BENCH_SKIP_FUNNEL="1",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    rec = json.loads(line)
+    d = rec["detail"]
+    return {
+        "num_chains": chains,
+        "num_samples": num_samples,
+        "thin": thin,
+        "min_ess_per_sec": rec["value"],
+        "wall_seconds": d["wall_seconds"],
+        "min_ess": d["min_ess"],
+        "divergences": d["divergences"],
+        "mfu_pct": d.get("roofline", {}).get("mfu_pct"),
+    }
+
+
+def weak_scaling_cpu() -> list:
+    """Run the weak-scaling harness in a subprocess (platform selection must
+    happen before first backend use, so it cannot share this process)."""
+    code = (
+        "import os, json;"
+        "os.environ['XLA_FLAGS']=os.environ.get('XLA_FLAGS','')"
+        "+' --xla_force_host_platform_device_count=8';"
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from benchmarks.scaling import measure_scaling;"
+        "rows=measure_scaling([1,2,4,8], chains_per_shard=8,"
+        " num_warmup=200, num_samples=200, kernel='nuts');"
+        "print('ROWS='+json.dumps(rows))"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO,
+        capture_output=True, text=True, timeout=3600,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("ROWS=")][-1]
+    return json.loads(line[len("ROWS="):])
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, "SCALING_r03.json"
+    )
+    import jax
+
+    device = str(jax.devices()[0])
+    chain_rows = []
+    for chains, num_samples, thin in CHAIN_ROWS:
+        row = run_bench_row(chains, num_samples, thin)
+        chain_rows.append(row)
+        print(row, flush=True)
+    base = chain_rows[0]
+    for row in chain_rows:
+        ideal = row["num_chains"] / base["num_chains"]
+        row["efficiency_vs_1024"] = round(
+            (row["min_ess_per_sec"] / base["min_ess_per_sec"]) / ideal, 3
+        )
+
+    weak = weak_scaling_cpu()
+    artifact = {
+        "chain_scaling": {
+            "config": "glm100_fused (NUTS, 100-param logistic GLM, 10K obs, "
+                      "bf16 fused Pallas, max_tree_depth=6)",
+            "device": device,
+            "note": "single real chip; ESS on device; efficiency is "
+                    "(essps/essps_1024)/(chains/1024)",
+            "rows": chain_rows,
+        },
+        "weak_scaling": {
+            "config": "hier100 non-centered hierarchical, NUTS, "
+                      "8 chains/shard, shards 1/2/4/8",
+            "device": "8-device virtual CPU mesh (rehearsal: collectives and "
+                      "shardings identical to multi-chip, absolute numbers "
+                      "are not hardware-meaningful)",
+            "rows": weak,
+        },
+    }
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print("wrote", out_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -88,6 +88,7 @@ def _save_warmup_npz(path: str, ckpt: Dict[str, Any]) -> None:
     }
     meta["sampler_kwargs"] = ckpt.get("sampler_kwargs", {})
     meta["data_fingerprint"] = ckpt.get("data_fingerprint")
+    meta["mesh_axes"] = ckpt.get("mesh_axes")
     meta["param_names"] = list(ckpt["positions"].keys())
     meta["n_adapt"] = len(ckpt["adapt_leaves"])
     meta["n_traj"] = len(ckpt["traj_leaves"])
@@ -113,6 +114,7 @@ def _load_warmup_npz(data, meta) -> Dict[str, Any]:
         "dim": int(meta["dim"]),
         "sampler_kwargs": meta.get("sampler_kwargs", {}),
         "data_fingerprint": meta.get("data_fingerprint"),
+        "mesh_axes": meta.get("mesh_axes"),
         "positions": {k: data[f"pos_{k}"] for k in meta["param_names"]},
         "adapt_leaves": [data[f"adapt_{i}"] for i in range(meta["n_adapt"])],
         "traj_leaves": [data[f"traj_{i}"] for i in range(meta["n_traj"])],
@@ -245,6 +247,101 @@ def _adapt_templates(dim: int, kernel: str):
     return adapt, traj
 
 
+def _mesh_axes_meta(mesh, axis, data_axis):
+    """The mesh layout recorded into a sharded warmup checkpoint: the
+    chain-axis and data-axis sizes. Sharded adaptation pools statistics with
+    pmean-of-shard-means / psums whose floating-point rounding depends on the
+    shard factorization, so bit-exact resume requires the SAME layout — a
+    checkpoint therefore refuses to resume under a different one."""
+    if mesh is None:
+        return None
+    return {
+        "axis": axis,
+        "axis_size": int(mesh.shape[axis]),
+        "data_axis": data_axis,
+        "data_axis_size": int(mesh.shape[data_axis]) if data_axis else None,
+    }
+
+
+def _check_mesh_axes(stored, mesh, axis, data_axis):
+    current = _mesh_axes_meta(mesh, axis, data_axis)
+    if stored != current:
+        raise ValueError(
+            "resume_warmup: mesh layout differs from the checkpointed "
+            f"run's (checkpoint: {stored}, resume: {current}). Cross-shard "
+            "adaptation statistics round differently per layout, so "
+            "resuming on a different mesh is not bit-exact — re-create the "
+            "original mesh or re-run warmup from scratch."
+        )
+
+
+def _sharded_warmup_run(
+    log_prob_fn,
+    initial_params,
+    *,
+    num_warmup,
+    warmup_start,
+    warmup_stop,
+    num_samples,
+    num_chains,
+    kernel,
+    seed,
+    data,
+    jitter,
+    resume_state,
+    z0_batch_override,
+    mesh,
+    axis,
+    data_axis,
+    data_specs,
+    log_prior_fn,
+    **kwargs,
+):
+    """Sharded sibling of :func:`_warmup_run`: drives the same engine warmup
+    segment under ``shard_map`` over ``mesh`` (parallel/sharded.py). Returns
+    the same ``(result, unravel, dim)`` contract via a thin result shim."""
+    import types
+
+    from mlx_mcmc_tpu.parallel.sharded import _sharded_engine_run
+
+    (positions, info, tunables, final_state, adapt, traj, _stats,
+     unravel, dim) = _sharded_engine_run(
+        log_prob_fn,
+        initial_params,
+        num_samples=num_samples,
+        num_warmup=num_warmup,
+        num_chains=num_chains,
+        kernel=kernel,
+        seed=seed,
+        mesh=mesh,
+        axis=axis,
+        step_size=kwargs.pop("step_size", "auto"),
+        adapt_step_size=kwargs.pop("adapt_step_size", True),
+        adapt_mass_matrix=kwargs.pop("adapt_mass_matrix", True),
+        target_accept=kwargs.pop("target_accept", None),
+        jitter=jitter,
+        device_diagnostics=False,
+        data=data,
+        data_axis=data_axis,
+        data_specs=data_specs,
+        log_prior_fn=log_prior_fn,
+        warmup_start=warmup_start,
+        warmup_stop=warmup_stop,
+        resume_state=resume_state,
+        z0_batch_override=z0_batch_override,
+        **kwargs,
+    )
+    result = types.SimpleNamespace(
+        positions=positions,
+        info=info,
+        final_tunables=tunables,
+        final_state=final_state,
+        final_adapt=adapt,
+        final_traj=traj,
+    )
+    return result, unravel, dim
+
+
 def _warmup_run(
     log_prob_fn,
     initial_params,
@@ -340,7 +437,7 @@ def _storable_kwargs(kwargs: Dict[str, Any]) -> Dict[str, Any]:
 
 def _warmup_ckpt_dict(
     result, unravel, *, step, num_warmup, num_chains, kernel, seed, dim,
-    sampler_kwargs=None, data_fingerprint=None,
+    sampler_kwargs=None, data_fingerprint=None, mesh_axes=None,
 ):
     import jax
 
@@ -355,6 +452,7 @@ def _warmup_ckpt_dict(
         "dim": int(dim),
         "sampler_kwargs": dict(sampler_kwargs or {}),
         "data_fingerprint": data_fingerprint,
+        "mesh_axes": mesh_axes,
         # dict of (chains, *event) arrays — carries the param structure, so
         # resume_warmup can rebuild the flat<->dict mapping without the
         # original initial_params.
@@ -396,6 +494,11 @@ def run_warmup(
     seed: int = 0,
     data=None,
     jitter: float = 0.0,
+    mesh=None,
+    axis: str = "chains",
+    data_axis=None,
+    data_specs=None,
+    log_prior_fn=None,
     **kwargs,
 ) -> Dict[str, Any]:
     """Run the warmup segment ``[0, stop)`` of an ``num_warmup``-step warmup
@@ -405,6 +508,14 @@ def run_warmup(
     All other kwargs follow :func:`mlx_mcmc_tpu.sample` (kernel options,
     ``target_accept``, ``adapt_*`` flags, ...). The eventual draws are
     bit-identical to ``sample(..., num_warmup=num_warmup, seed=seed)``.
+
+    With ``mesh=`` the segment runs sharded over ``mesh[axis]`` exactly like
+    :func:`~mlx_mcmc_tpu.parallel.sample_sharded` (same collective
+    adaptation; ``data_axis``/``data_specs``/``log_prior_fn`` follow its
+    observation-sharding contract), and the eventual draws are bit-identical
+    to the uninterrupted ``sample_sharded`` run on the same mesh. The mesh
+    layout is recorded in the checkpoint: cross-shard statistics round
+    differently per layout, so resume must re-create it.
     """
     if not 0 < stop <= num_warmup:
         raise ValueError(f"stop must be in (0, {num_warmup}], got {stop}")
@@ -416,9 +527,7 @@ def run_warmup(
             "run_warmup requires an int seed (PRNG-key seeds cannot be "
             f"serialized into a warmup checkpoint), got {type(seed).__name__}"
         )
-    result, unravel, dim = _warmup_run(
-        log_prob_fn,
-        initial_params,
+    common = dict(
         num_warmup=num_warmup,
         warmup_start=0,
         warmup_stop=stop,
@@ -430,8 +539,17 @@ def run_warmup(
         jitter=jitter,
         resume_state=None,
         z0_batch_override=None,
-        **kwargs,
     )
+    if mesh is not None:
+        result, unravel, dim = _sharded_warmup_run(
+            log_prob_fn, initial_params, mesh=mesh, axis=axis,
+            data_axis=data_axis, data_specs=data_specs,
+            log_prior_fn=log_prior_fn, **common, **kwargs,
+        )
+    else:
+        result, unravel, dim = _warmup_run(
+            log_prob_fn, initial_params, **common, **kwargs,
+        )
     return _warmup_ckpt_dict(
         result,
         unravel,
@@ -443,6 +561,7 @@ def run_warmup(
         dim=dim,
         sampler_kwargs=dict(_storable_kwargs(kwargs), jitter=jitter),
         data_fingerprint=_data_fingerprint(data),
+        mesh_axes=_mesh_axes_meta(mesh, axis, data_axis),
     )
 
 
@@ -453,6 +572,11 @@ def resume_warmup(
     num_samples: int = 1000,
     stop: Optional[int] = None,
     data=None,
+    mesh=None,
+    axis: str = "chains",
+    data_axis=None,
+    data_specs=None,
+    log_prior_fn=None,
     **kwargs,
 ):
     """Continue from a mid-warmup checkpoint.
@@ -462,6 +586,11 @@ def resume_warmup(
     finishes warmup ``[step, num_warmup)``, draws ``num_samples``, and
     returns the :class:`~mlx_mcmc_tpu.inference.api.MCMCResult` —
     bit-identical to the uninterrupted run.
+
+    A checkpoint written by a sharded ``run_warmup(..., mesh=...)`` must be
+    resumed with a mesh of the same layout (chain-axis and data-axis sizes;
+    validated), and vice versa a vmap checkpoint cannot resume sharded —
+    cross-shard adaptation statistics round differently per layout.
     """
     if isinstance(checkpoint, str):
         checkpoint = load_checkpoint(checkpoint)
@@ -470,6 +599,7 @@ def resume_warmup(
             "resume_warmup needs a mid-warmup checkpoint (run_warmup); for "
             "post-warmup checkpoints use resume()"
         )
+    _check_mesh_axes(checkpoint.get("mesh_axes"), mesh, axis, data_axis)
     start = int(checkpoint["warmup_step"])
     num_warmup = int(checkpoint["num_warmup"])
     kernel = checkpoint["kernel"]
@@ -515,9 +645,7 @@ def resume_warmup(
     example = jax.tree_util.tree_map(lambda x: x[0], positions)
     z0_batch = jax.vmap(lambda tree: ravel_params(tree)[0])(positions)
 
-    result, unravel, dim = _warmup_run(
-        log_prob_fn,
-        example,
+    common = dict(
         num_warmup=num_warmup,
         warmup_start=start,
         warmup_stop=stop,
@@ -529,8 +657,16 @@ def resume_warmup(
         jitter=0.0,
         resume_state=_resume_state_from_ckpt(checkpoint),
         z0_batch_override=z0_batch,
-        **kwargs,
     )
+    if mesh is not None:
+        result, unravel, dim = _sharded_warmup_run(
+            log_prob_fn, example, mesh=mesh, axis=axis, data_axis=data_axis,
+            data_specs=data_specs, log_prior_fn=log_prior_fn,
+            **common, **kwargs,
+        )
+    else:
+        result, unravel, dim = _warmup_run(log_prob_fn, example, **common,
+                                           **kwargs)
     if partial:
         return _warmup_ckpt_dict(
             result,
@@ -543,6 +679,7 @@ def resume_warmup(
             dim=dim,
             sampler_kwargs=checkpoint.get("sampler_kwargs"),
             data_fingerprint=checkpoint.get("data_fingerprint"),
+            mesh_axes=checkpoint.get("mesh_axes"),
         )
     from mlx_mcmc_tpu.inference.api import MCMCResult
 

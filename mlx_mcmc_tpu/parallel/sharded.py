@@ -47,61 +47,40 @@ from mlx_mcmc_tpu.parallel.mesh import chain_mesh
 from jax import shard_map  # public API since jax 0.8
 
 
-def sample_sharded(
+def _sharded_engine_run(
     log_prob_fn: Callable[[Any], jnp.ndarray],
     initial_params: Any,
     *,
-    num_samples: int = 1000,
-    num_warmup: int = 1000,
-    num_chains: int = 8,
-    kernel: str = "nuts",
-    seed=0,
-    mesh: Optional[Mesh] = None,
-    axis: str = "chains",
-    step_size="auto",
-    adapt_step_size: bool = True,
-    adapt_mass_matrix: bool = True,
-    target_accept: Optional[float] = None,
-    jitter: float = 0.0,
-    device_diagnostics: bool = False,
-    data=None,
-    data_axis: Optional[str] = None,
-    data_specs=None,
-    log_prior_fn: Optional[Callable[[Any], jnp.ndarray]] = None,
+    num_samples: int,
+    num_warmup: int,
+    num_chains: int,
+    kernel: str,
+    seed,
+    mesh: Optional[Mesh],
+    axis: str,
+    step_size,
+    adapt_step_size: bool,
+    adapt_mass_matrix: bool,
+    target_accept: Optional[float],
+    jitter: float,
+    device_diagnostics: bool,
+    data,
+    data_axis: Optional[str],
+    data_specs,
+    log_prior_fn: Optional[Callable[[Any], jnp.ndarray]],
+    warmup_start: int = 0,
+    warmup_stop: Optional[int] = None,
+    resume_state=None,
+    z0_batch_override=None,
     **kernel_kwargs,
-) -> MCMCResult:
-    """Run chains sharded over ``mesh[axis]`` with collective adaptation.
-
-    ``num_chains`` must be divisible by the mesh axis size. Returns the same
-    :class:`MCMCResult` as :func:`mlx_mcmc_tpu.sample`, with sample arrays
-    sharded over chains (gather happens lazily on numpy conversion).
-
-    With ``device_diagnostics=True``, split R-hat and ESS per flat dimension
-    are computed *inside* the sharded program with psum/pmean collectives and
-    attached as ``result.device_stats`` — only (D,) statistics cross the
-    host boundary, never the draw tensor.
-
-    ``data`` follows the ``sample(..., data=...)`` protocol: a pytree passed
-    at run time to a binary model ``log_prob_fn(params, data)``; it is
-    replicated across the chain axis.
-
-    ``data_axis`` names a second mesh axis to shard the *observations* over
-    (pass a 2-D mesh, e.g. :func:`mlx_mcmc_tpu.parallel.data_chain_mesh`).
-    The model contract changes: ``log_prob_fn(params, data)`` must return the
-    shard-LOCAL log-likelihood contribution (the sum over its slice of
-    observations) and the prior moves to ``log_prior_fn(params)`` so it is
-    counted once, not once per shard; the engine psums the local terms every
-    gradient/energy evaluation. The same contract applies to a fused
-    ``value_and_grad_fn`` (build it with ``include_prior=False``).
-    ``data_specs`` optionally gives per-leaf PartitionSpecs for ``data``; by
-    default every non-scalar leaf shards its leading axis.
-
-    On the data axis every kernel runs a static collective schedule; nuts is
-    automatically switched to ``static_schedule=True`` (a fixed
-    ``2**max_tree_depth - 1`` masked-leapfrog tree build, bit-identical
-    draws) so the per-leapfrog psum count is uniform across chain rows —
-    pass a modest ``max_tree_depth`` (6-8) to bound the fixed cost.
-    """
+):
+    """Shared driver behind :func:`sample_sharded` and the sharded
+    mid-warmup checkpoint path (io/checkpoint.py ``run_warmup(...,
+    mesh=...)``): runs the engine segment ``[warmup_start, warmup_stop)``
+    (+ ``num_samples`` draws when the segment completes warmup) under
+    ``shard_map``, and additionally returns the final adaptation pytrees
+    (identical on every shard after the collectives) so a caller can
+    checkpoint mid-warmup."""
     step_size = resolve_step_size(step_size, kernel, adapt_step_size)
     if mesh is None:
         mesh = chain_mesh()
@@ -189,21 +168,39 @@ def sample_sharded(
         adapt_mass_matrix=adapt_mass_matrix,
         target_accept=target_accept,
         axis_name=axis,
+        warmup_start=warmup_start,
+        warmup_stop=warmup_stop,
         **kernel_kwargs,
     )
 
     key = _as_key(seed)
     key_init, key_run = jax.random.split(key)
-    z0_batch = prepare_initial_positions(z0, num_chains, key_init, jitter)
+    if z0_batch_override is not None:
+        z0_batch = jnp.asarray(z0_batch_override)
+    else:
+        z0_batch = prepare_initial_positions(z0, num_chains, key_init, jitter)
     chain_keys = make_chain_keys(key_run, num_chains)
 
-    def shard_run(chain_keys_shard, z0_shard, data_shard, sched):
-        result = run(chain_keys_shard, z0_shard, data_shard, None, sched)
+    def shard_run(chain_keys_shard, z0_shard, data_shard, resume_rep, sched):
+        if resume_rep is not None:
+            # resume_rep arrives tiled with a leading (shards,) axis and
+            # in_spec P(axis): each shard slices out ITS row. The dual-
+            # averaging scalars are identical across rows, but the Welford
+            # mass-matrix moments are genuinely SHARD-LOCAL (each shard
+            # accumulates its own chains; the psum merge only happens at
+            # window ends) — restoring shard 0's moments everywhere would
+            # corrupt the next window-end merge.
+            resume_rep = jax.tree_util.tree_map(lambda x: x[0], resume_rep)
+        result = run(chain_keys_shard, z0_shard, data_shard, resume_rep, sched)
         # Tunables (and device diagnostics) are identical on every shard
         # after the collectives; emit one leading shard axis so out_specs can
-        # declare them sharded, then take shard 0 outside.
+        # declare them sharded, then take shard 0 outside. The adaptation
+        # pytrees keep their full per-shard tiling (see resume_rep above).
         tiled_tunables = jax.tree_util.tree_map(
             lambda x: x[None], result.final_tunables
+        )
+        tiled_adapt = jax.tree_util.tree_map(
+            lambda x: x[None], (result.final_adapt, result.final_traj)
         )
         if device_diagnostics:
             from mlx_mcmc_tpu.diagnostics.device import device_ess, device_rhat
@@ -219,6 +216,7 @@ def sample_sharded(
             result.info,
             tiled_tunables,
             result.final_state,
+            tiled_adapt,
             stats,
         )
 
@@ -263,18 +261,113 @@ def sample_sharded(
     sharded = shard_map(
         shard_run,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), data_in_spec, P()),
-        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), data_in_spec, P(axis), P()),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
         # Kernel while-loop carries mix shard-invariant literals with
         # shard-varying state; skip the varying-axes check rather than
         # pcast-annotating every carry.
         check_vma=False,
     )
 
-    positions, info, tiled_tunables, final_state, stats = jax.jit(sharded)(
-        chain_keys, z0_batch, data, run.sched
+    positions, info, tiled_tunables, final_state, tiled_adapt, stats = (
+        jax.jit(sharded)(chain_keys, z0_batch, data, resume_state, run.sched)
     )
     tunables = jax.tree_util.tree_map(lambda x: x[0], tiled_tunables)
+    # Adaptation pytrees stay TILED with their leading (shards,) axis: the
+    # Welford moments are per-shard state (see shard_run), so a mid-warmup
+    # checkpoint must round-trip all of them, not shard 0's.
+    adapt, traj = tiled_adapt
+    if device_diagnostics:
+        stats = jax.tree_util.tree_map(lambda x: x[0], stats)
+    return (
+        positions, info, tunables, final_state, adapt, traj, stats,
+        unravel, dim,
+    )
+
+
+def sample_sharded(
+    log_prob_fn: Callable[[Any], jnp.ndarray],
+    initial_params: Any,
+    *,
+    num_samples: int = 1000,
+    num_warmup: int = 1000,
+    num_chains: int = 8,
+    kernel: str = "nuts",
+    seed=0,
+    mesh: Optional[Mesh] = None,
+    axis: str = "chains",
+    step_size="auto",
+    adapt_step_size: bool = True,
+    adapt_mass_matrix: bool = True,
+    target_accept: Optional[float] = None,
+    jitter: float = 0.0,
+    device_diagnostics: bool = False,
+    data=None,
+    data_axis: Optional[str] = None,
+    data_specs=None,
+    log_prior_fn: Optional[Callable[[Any], jnp.ndarray]] = None,
+    **kernel_kwargs,
+) -> MCMCResult:
+    """Run chains sharded over ``mesh[axis]`` with collective adaptation.
+
+    ``num_chains`` must be divisible by the mesh axis size. Returns the same
+    :class:`MCMCResult` as :func:`mlx_mcmc_tpu.sample`, with sample arrays
+    sharded over chains (gather happens lazily on numpy conversion).
+
+    With ``device_diagnostics=True``, split R-hat and ESS per flat dimension
+    are computed *inside* the sharded program with psum/pmean collectives and
+    attached as ``result.device_stats`` — only (D,) statistics cross the
+    host boundary, never the draw tensor.
+
+    ``data`` follows the ``sample(..., data=...)`` protocol: a pytree passed
+    at run time to a binary model ``log_prob_fn(params, data)``; it is
+    replicated across the chain axis.
+
+    ``data_axis`` names a second mesh axis to shard the *observations* over
+    (pass a 2-D mesh, e.g. :func:`mlx_mcmc_tpu.parallel.data_chain_mesh`).
+    The model contract changes: ``log_prob_fn(params, data)`` must return the
+    shard-LOCAL log-likelihood contribution (the sum over its slice of
+    observations) and the prior moves to ``log_prior_fn(params)`` so it is
+    counted once, not once per shard; the engine psums the local terms every
+    gradient/energy evaluation. The same contract applies to a fused
+    ``value_and_grad_fn`` (build it with ``include_prior=False``).
+    ``data_specs`` optionally gives per-leaf PartitionSpecs for ``data``; by
+    default every non-scalar leaf shards its leading axis.
+
+    On the data axis every kernel runs a static collective schedule; nuts is
+    automatically switched to ``static_schedule=True`` (a fixed
+    ``2**max_tree_depth - 1`` masked-leapfrog tree build, bit-identical
+    draws) so the per-leapfrog psum count is uniform across chain rows —
+    pass a modest ``max_tree_depth`` (6-8) to bound the fixed cost.
+
+    Mid-warmup checkpoint/resume for sharded runs goes through
+    ``io.run_warmup(..., mesh=...)`` / ``io.resume_warmup(..., mesh=...)``,
+    which drive the same engine segments over the same mesh (bit-identical
+    composition, tests/test_checkpoint.py).
+    """
+    (positions, info, tunables, _final_state, _adapt, _traj, stats,
+     unravel, _dim) = _sharded_engine_run(
+        log_prob_fn,
+        initial_params,
+        num_samples=num_samples,
+        num_warmup=num_warmup,
+        num_chains=num_chains,
+        kernel=kernel,
+        seed=seed,
+        mesh=mesh,
+        axis=axis,
+        step_size=step_size,
+        adapt_step_size=adapt_step_size,
+        adapt_mass_matrix=adapt_mass_matrix,
+        target_accept=target_accept,
+        jitter=jitter,
+        device_diagnostics=device_diagnostics,
+        data=data,
+        data_axis=data_axis,
+        data_specs=data_specs,
+        log_prior_fn=log_prior_fn,
+        **kernel_kwargs,
+    )
 
     samples = jax.vmap(jax.vmap(unravel))(positions)
     result = MCMCResult(
@@ -286,5 +379,5 @@ def sample_sharded(
         kernel=kernel,
     )
     if device_diagnostics:
-        result.device_stats = jax.tree_util.tree_map(lambda x: x[0], stats)
+        result.device_stats = stats
     return result

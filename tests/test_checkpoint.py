@@ -200,6 +200,116 @@ class TestMidWarmupResume:
             )
 
 
+class TestShardedMidWarmup:
+    """SURVEY.md §5.4 on the path where preemption-resume matters: sharded
+    runs. run_warmup/resume_warmup with ``mesh=`` drive the same engine
+    segments under shard_map, so interrupted == uninterrupted bit-for-bit on
+    the same mesh; a different mesh layout is rejected (cross-shard
+    statistics round differently per layout)."""
+
+    @pytest.fixture(scope="class")
+    def eight_devices(self):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        return jax.devices()
+
+    @pytest.mark.parametrize("kernel", ["nuts", "hmc"])
+    def test_sharded_interrupted_equals_uninterrupted(
+        self, eight_devices, kernel, tmp_path
+    ):
+        from mlx_mcmc_tpu.io import resume_warmup, run_warmup
+        from mlx_mcmc_tpu.parallel import chain_mesh, sample_sharded
+
+        mesh = chain_mesh()
+        kwargs = dict(num_chains=8, kernel=kernel, seed=11)
+        full = sample_sharded(
+            _model, {"x": jnp.zeros(3)}, num_warmup=80, num_samples=30,
+            mesh=mesh, **kwargs,
+        )
+        ckpt = run_warmup(
+            _model, {"x": jnp.zeros(3)}, num_warmup=80, stop=33, mesh=mesh,
+            **kwargs,
+        )
+        assert ckpt["mesh_axes"] == {
+            "axis": "chains", "axis_size": 8,
+            "data_axis": None, "data_axis_size": None,
+        }
+        path = str(tmp_path / f"sharded_{kernel}.npz")
+        save_checkpoint(path, ckpt)
+        res = resume_warmup(
+            _model, load_checkpoint(path), num_samples=30, mesh=mesh
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res.samples["x"]), np.asarray(full.samples["x"])
+        )
+        assert float(res.tunables.step_size) == float(full.tunables.step_size)
+
+    def test_sharded_data_axis_segments(self, eight_devices):
+        """Mid-warmup resume composes with observation sharding: segments on
+        a 2-D (chains, data) mesh equal the uninterrupted data-sharded run."""
+        import jax
+
+        from mlx_mcmc_tpu.io import resume_warmup, run_warmup
+        from mlx_mcmc_tpu.models import make_logistic_regression
+        from mlx_mcmc_tpu.parallel import data_chain_mesh, sample_sharded
+
+        def local_loglik(params, data):
+            s = jnp.dot(data["X"], params["beta"],
+                        preferred_element_type=jnp.float32)
+            return jnp.sum(data["y"] * s - jax.nn.softplus(s))
+
+        def log_prior(params):
+            return jnp.sum(Normal(0.0, 1.0).log_prob(params["beta"]))
+
+        spec = make_logistic_regression(num_features=4, num_obs=64, seed=0)
+        data = {"X": spec.X, "y": spec.y}
+        mesh = data_chain_mesh(2, 4)
+        shard_kw = dict(
+            data=data, data_axis="data", log_prior_fn=log_prior, mesh=mesh,
+        )
+        full = sample_sharded(
+            local_loglik, spec.initial_params, num_warmup=40, num_samples=10,
+            num_chains=4, kernel="hmc", seed=2, num_leapfrog_steps=3,
+            **shard_kw,
+        )
+        ckpt = run_warmup(
+            local_loglik, spec.initial_params, num_warmup=40, stop=15,
+            num_chains=4, kernel="hmc", seed=2, num_leapfrog_steps=3,
+            **shard_kw,
+        )
+        assert ckpt["mesh_axes"]["data_axis_size"] == 4
+        # kernel/seed/num_chains come from the checkpoint on resume.
+        ckpt = resume_warmup(local_loglik, ckpt, stop=30, **shard_kw)
+        res = resume_warmup(local_loglik, ckpt, num_samples=10, **shard_kw)
+        np.testing.assert_array_equal(
+            np.asarray(res.samples["beta"]), np.asarray(full.samples["beta"])
+        )
+
+    def test_mesh_layout_mismatch_rejected(self, eight_devices):
+        from mlx_mcmc_tpu.io import resume_warmup, run_warmup
+        from mlx_mcmc_tpu.parallel import chain_mesh
+
+        ckpt = run_warmup(
+            _model, {"x": jnp.zeros(2)}, num_warmup=40, stop=10,
+            num_chains=8, kernel="hmc", seed=0, mesh=chain_mesh(),
+        )
+        # sharded checkpoint, vmap resume: rejected
+        with pytest.raises(ValueError, match="mesh layout"):
+            resume_warmup(_model, ckpt, stop=20)
+        # different chain-axis size: rejected
+        with pytest.raises(ValueError, match="mesh layout"):
+            resume_warmup(_model, ckpt, stop=20, mesh=chain_mesh(num_devices=4))
+        # vmap checkpoint, sharded resume: rejected
+        vmap_ckpt = run_warmup(
+            _model, {"x": jnp.zeros(2)}, num_warmup=40, stop=10,
+            num_chains=8, kernel="hmc", seed=0,
+        )
+        with pytest.raises(ValueError, match="mesh layout"):
+            resume_warmup(_model, vmap_ckpt, stop=20, mesh=chain_mesh())
+
+
 class TestConfig:
     def test_sampler_config_roundtrip(self):
         cfg = SamplerConfig(
