@@ -80,7 +80,7 @@ CONFIGS = {
         baseline_ess_per_sec=0.03, fused=True,
         label=(
             "min-ESS/sec/chip, NUTS 1000-param logistic GLM "
-            "(100K obs, 128 chains, bf16 fused Pallas)"
+            "(100K obs, {chains} chains, bf16 fused Pallas)"
         ),
     ),
     # BASELINE.md north-star scaling config: 1000-param non-centered

@@ -108,11 +108,14 @@ def main():
     steps = np.asarray(steps)
     iters = steps.max(axis=1).sum()  # lockstep: max leaves per draw
     useful = steps.mean(axis=1).sum()
+    # NOTE: the kernel advances one even+odd leaf PAIR per while iteration
+    # (kernels/nuts.py), so "per leaf" here is wall / lockstep LEAVES —
+    # loop iterations are roughly half that.
     report["B_wall_s"] = wall_b
-    report["B_iters_lockstep"] = int(iters)
+    report["B_leaves_lockstep"] = int(iters)
     report["B_mean_leaves_per_draw"] = float(steps.mean(axis=1).mean())
     report["B_max_leaves_per_draw"] = float(steps.max(axis=1).mean())
-    report["B_per_iteration_ms"] = 1e3 * wall_b / iters
+    report["B_per_leaf_ms"] = 1e3 * wall_b / iters
     report["B_per_useful_leaf_ms"] = 1e3 * wall_b / useful
     report["B_lockstep_tax"] = float(iters / useful)
 
@@ -150,10 +153,10 @@ def main():
     iters_c = steps_c.max(axis=1).sum()
     report["C_wall_s"] = wall_c
     report["C_iters_lockstep"] = int(iters_c)
-    report["C_per_iteration_ms"] = 1e3 * wall_c / iters_c
+    report["C_per_leaf_ms"] = 1e3 * wall_c / iters_c
 
     report["implied_bookkeeping_ms"] = (
-        report["B_per_iteration_ms"] - report["A_leapfrog_ms"]
+        report["B_per_leaf_ms"] - report["A_leapfrog_ms"]
     )
     print(json.dumps(report, indent=2), flush=True)
 

@@ -56,13 +56,15 @@ def _is_turning(r_sum, r_first, r_last, inv_mass_diag) -> jnp.ndarray:
 
 
 class _Proposal(NamedTuple):
-    """The candidate next state: position + cached density/gradient. The
-    momentum is deliberately NOT tracked — it is never consumed after
-    selection, and dropping it saves one (D,)-select per leaf per chain."""
+    """The candidate next state: the position ONLY. Momentum, log-prob and
+    gradient are deliberately NOT tracked: none is consumed inside the loop
+    (leaf weights come from the integrator's energies, not the proposal), so
+    carrying them costs four extra (D,)/(,)-selects per leaf per chain plus
+    their share of while-carry traffic. The selected position's density and
+    gradient are recomputed with ONE extra value_and_grad per draw after the
+    loop — ~1/15th of a leaf's cost at realistic tree sizes."""
 
     z: jnp.ndarray
-    log_prob: jnp.ndarray
-    grad: jnp.ndarray
 
 
 class _NutsCarry(NamedTuple):
@@ -72,9 +74,13 @@ class _NutsCarry(NamedTuple):
     The textbook nested formulation (doubling while-loop around a subtree
     while-loop) pays a loop-boundary cost per doubling that measures ~1.8 ms
     at 4096 vmapped chains on v5e — more than the leapfrog itself. Flattening
-    to a single loop makes the iteration count exactly the leapfrog count;
-    subtree completion and tree merging happen branchlessly via masked
-    selects inside the body.
+    to a single loop makes the iteration count proportional to the leapfrog
+    count; subtree completion and tree merging happen branchlessly via masked
+    selects inside the body. Each iteration advances one even+odd leaf PAIR
+    (two leapfrogs) — the depth-0 root subtree is peeled out of the loop so
+    pairs always align with subtree boundaries — which halves both the
+    while-loop's fixed per-iteration cost and the per-leaf (T, D) bookkeeping
+    passes (checkpoint writes on even leaves, batched U-turn checks on odd).
     """
 
     # --- whole-trajectory (tree) state ---
@@ -100,7 +106,7 @@ class _NutsCarry(NamedTuple):
 
 
 def _as_proposal(state: IntegratorState) -> _Proposal:
-    return _Proposal(z=state.z, log_prob=state.log_prob, grad=state.grad)
+    return _Proposal(z=state.z)
 
 
 def make_nuts_kernel(
@@ -179,19 +185,55 @@ def make_nuts_kernel(
         dim = state.position.shape[-1]
         f32 = jnp.float32
 
+        def leaf_energy(new):
+            delta = total_energy(new, inv_mass) - energy0
+            leaf_div = delta > max_delta_energy
+            log_w = -delta  # multinomial log weight, relative to E0
+            accept_stat = jnp.exp(jnp.minimum(-delta, 0.0))
+            return leaf_div, log_w, accept_stat
+
+        # --- peeled root doubling: the depth-0 subtree is one leaf, so the
+        # loop below can process exactly one even+odd leaf PAIR (two
+        # leapfrogs) per iteration. Every later subtree has 2^d >= 2 leaves
+        # and can only stop early on divergence (turning is detected at odd
+        # leaves, i.e. pair ends), so pair alignment holds for the whole
+        # trajectory. Halving the iteration count halves the while-loop's
+        # fixed per-iteration cost, and the checkpoint-buffer write (even
+        # leaves) and batched U-turn check (odd leaves) — the two big (T, D)
+        # bookkeeping passes — run once per pair instead of once per leaf.
+        u0 = jax.random.uniform(jax.random.fold_in(key_loop, 0), (4,))
+        going_right0 = u0[0] < 0.5
+        new0 = leapfrog(
+            start, jnp.where(going_right0, eps, -eps), inv_mass
+        )
+        div0, lw0, acc0 = leaf_energy(new0)
+        # Singleton subtree: the take is unconditional (only leaf); the
+        # across-doubling move uses the biased transition vs the root.
+        p_move0 = jnp.exp(jnp.minimum(lw0, 0.0))
+        p_move0 = jnp.where(jnp.isnan(p_move0), 0.0, p_move0)
+        move0 = ~div0 & (u0[3] < p_move0)
+        left0 = jax.tree_util.tree_map(
+            lambda n, s: jnp.where(going_right0, s, n), new0, start
+        )
+        right0 = jax.tree_util.tree_map(
+            lambda n, s: jnp.where(going_right0, n, s), new0, start
+        )
+        r_sum0 = r0 + new0.r
+        turning0 = ~div0 & _is_turning(r_sum0, left0.r, right0.r, inv_mass)
+
         carry0 = _NutsCarry(
-            left=start,
-            right=start,
-            proposal=_as_proposal(start),
-            log_weight=jnp.zeros((), f32),
-            r_sum=r0,
-            depth=jnp.asarray(0, jnp.int32),
-            turning=jnp.asarray(False),
-            diverging=jnp.asarray(False),
-            sum_accept=jnp.zeros((), f32),
-            num_leaves=jnp.asarray(0, jnp.int32),
-            sub_last=start,
-            sub_proposal=_as_proposal(start),
+            left=left0,
+            right=right0,
+            proposal=_Proposal(z=jnp.where(move0, new0.z, start.z)),
+            log_weight=jnp.logaddexp(0.0, lw0),
+            r_sum=r_sum0,
+            depth=jnp.asarray(1, jnp.int32),
+            turning=turning0,
+            diverging=div0,
+            sum_accept=acc0,
+            num_leaves=jnp.asarray(1, jnp.int32),
+            sub_last=new0,
+            sub_proposal=_Proposal(z=new0.z),
             sub_log_weight=jnp.asarray(-jnp.inf, f32),
             sub_r_sum=jnp.zeros((dim,), r0.dtype),
             sub_leaf=jnp.asarray(0, jnp.int32),
@@ -204,98 +246,111 @@ def make_nuts_kernel(
             return ~c.turning & ~c.diverging & (c.depth < max_tree_depth)
 
         def body(c: _NutsCarry) -> _NutsCarry:
-            starting = c.sub_leaf == 0  # first leaf of a new subtree?
-            # One threefry pass per leaf: the leaf key is the global leaf
-            # counter folded into the draw key, and all three uniforms
-            # (direction, within-subtree take, across-subtree move) come from
-            # a single (3,) draw — threefry at chain width measures ~30 us
-            # per invocation at 4096 vmapped chains, so key bookkeeping was a
-            # material slice of the leaf cost (it also drops the key from the
-            # loop carry).
-            u3 = jax.random.uniform(
-                jax.random.fold_in(key_loop, c.num_leaves), (3,)
+            starting = c.sub_leaf == 0  # first pair of a new subtree?
+            # One threefry pass per PAIR: the pair key is the global leaf
+            # counter of its even leaf folded into the draw key; all four
+            # uniforms (direction, two within-subtree takes, across-subtree
+            # move) come from a single (4,) draw — threefry at chain width
+            # measures ~30 us per invocation at 4096 vmapped chains, so key
+            # bookkeeping was a material slice of the leaf cost (it also
+            # drops the key from the loop carry).
+            u4 = jax.random.uniform(
+                jax.random.fold_in(key_loop, c.num_leaves), (4,)
             )
-            going_right = jnp.where(starting, u3[0] < 0.5, c.going_right)
+            going_right = jnp.where(starting, u4[0] < 0.5, c.going_right)
             eps_signed = jnp.where(going_right, eps, -eps)
 
             # Integrate from the tree's outgoing edge when starting a
-            # subtree, else from the last integration point.
-            fresh_edge = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(going_right, a, b), c.right, c.left
-            )
+            # subtree, else from the last integration point. Single fused
+            # 3-way select per field (vs two chained 2-way tree_maps).
             base = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(starting, a, b), fresh_edge, c.sub_last
+                lambda l, r, s: jnp.where(
+                    starting, jnp.where(going_right, r, l), s
+                ),
+                c.left, c.right, c.sub_last,
             )
-            new = leapfrog(base, eps_signed, inv_mass)
-            energy = total_energy(new, inv_mass)
-            delta = energy - energy0  # energy error vs trajectory start
-            leaf_div = delta > max_delta_energy
-            log_w_leaf = -delta  # multinomial log weight, relative to E0
-            accept_stat = jnp.exp(jnp.minimum(-delta, 0.0))
+            # Leaf A (even index within the subtree).
+            new1 = leapfrog(base, eps_signed, inv_mass)
+            div1, lw1, acc1 = leaf_energy(new1)
+            # Leaf B (odd). If leaf A diverged the unpaired loop would have
+            # stopped before B — gate every contribution of B on ~div1 so
+            # the pair is semantically identical to two sequential leaves.
+            new2 = leapfrog(new1, eps_signed, inv_mass)
+            div2, lw2, acc2 = leaf_energy(new2)
+            b_valid = ~div1
+            div2 = b_valid & div2
 
-            # Progressive uniform-multinomial proposal update within subtree.
+            # Progressive uniform-multinomial proposal update, both leaves.
             prev_lw = jnp.where(starting, -jnp.inf, c.sub_log_weight)
-            sub_lw = jnp.logaddexp(prev_lw, log_w_leaf)
-            p_take = jnp.exp(log_w_leaf - sub_lw)
-            p_take = jnp.where(jnp.isnan(p_take), 0.0, p_take)
-            take = (~leaf_div) & (u3[1] < p_take)
-            sub_proposal = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(take, a, b),
-                _as_proposal(new),
-                c.sub_proposal,
+            lw_a = jnp.logaddexp(prev_lw, lw1)
+            p_take1 = jnp.exp(lw1 - lw_a)
+            p_take1 = jnp.where(jnp.isnan(p_take1), 0.0, p_take1)
+            take1 = (~div1) & (u4[1] < p_take1)
+            lw_b = jnp.logaddexp(lw_a, lw2)
+            p_take2 = jnp.exp(lw2 - lw_b)
+            p_take2 = jnp.where(jnp.isnan(p_take2), 0.0, p_take2)
+            take2 = b_valid & (~div2) & (u4[2] < p_take2)
+            sub_lw = jnp.where(b_valid, lw_b, lw_a)
+            # One fused 3-way select: B's take supersedes A's.
+            sub_proposal = _Proposal(
+                z=jnp.where(
+                    take2, new2.z, jnp.where(take1, new1.z, c.sub_proposal.z)
+                )
             )
 
-            leaf_idx = jnp.where(starting, 0, c.sub_leaf)  # index of THIS leaf
-            sub_r_sum = jnp.where(starting, 0.0, c.sub_r_sum) + new.r
+            leaf_a = jnp.where(starting, 0, c.sub_leaf)  # even leaf index
+            leaf_b = leaf_a + 1
+            sum_a = jnp.where(starting, 0.0, c.sub_r_sum) + new1.r
+            sum_b = sum_a + jnp.where(b_valid, new2.r, 0.0)
 
-            # Checkpoint bookkeeping: even leaves store, odd leaves check.
+            # Checkpoint bookkeeping: leaf A stores, leaf B checks.
             # Stored via a masked full-array write, NOT ``.at[ckpt_idx].set``:
             # under the chain vmap the slot index is a per-chain traced value,
             # so a dynamic-index update lowers to a scatter over
             # (chains, T, D) — serialized row-by-row on TPU and, measured,
             # the dominant bookkeeping cost. The masked write is T-times the
             # bytes of one slot but fully vectorized.
-            is_even = (leaf_idx % 2) == 0
-            ckpt_idx = _popcount(leaf_idx)
+            ckpt_idx = _popcount(leaf_a)
             slots = jnp.arange(max_tree_depth, dtype=jnp.int32)
-            hit = ((slots == ckpt_idx) & is_even)[:, None]  # (T, 1)
-            r_ckpts = jnp.where(hit, new.r[None, :], c.r_ckpts)
-            r_sum_ckpts = jnp.where(hit, sub_r_sum[None, :], c.r_sum_ckpts)
-            sub_turn = jnp.where(
-                is_even,
-                False,
-                _leaf_turning_check(
-                    leaf_idx, sub_r_sum, new.r, r_ckpts, r_sum_ckpts, inv_mass
-                ),
+            hit = (slots == ckpt_idx)[:, None]  # (T, 1)
+            r_ckpts = jnp.where(hit, new1.r[None, :], c.r_ckpts)
+            r_sum_ckpts = jnp.where(hit, sum_a[None, :], c.r_sum_ckpts)
+            sub_turn = b_valid & _leaf_turning_check(
+                leaf_b, sum_b, new2.r, r_ckpts, r_sum_ckpts, inv_mass
             )
 
             # Subtree completes when it has 2^depth leaves or stops early.
             target = jnp.left_shift(jnp.asarray(1, jnp.int32), c.depth)
-            complete = (leaf_idx + 1 >= target) | sub_turn | leaf_div
-            valid = ~sub_turn & ~leaf_div
+            pair_div = div1 | div2
+            complete = (leaf_b + 1 >= target) | sub_turn | pair_div
+            valid = ~sub_turn & ~pair_div
 
             # --- merge into the tree (masked; applies where complete) ---
             # Biased progressive transition: favor the new half-trajectory.
             p_move = jnp.exp(jnp.minimum(sub_lw - c.log_weight, 0.0))
             p_move = jnp.where(jnp.isnan(p_move), 0.0, p_move)
-            move = complete & valid & (u3[2] < p_move)
+            move = complete & valid & (u4[3] < p_move)
             proposal = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(move, a, b), sub_proposal, c.proposal
             )
+            # The subtree's outermost point is leaf B. (When leaf A diverged
+            # new2 is one leapfrog past a diverged state and may be garbage,
+            # but `diverging` exits the loop this iteration and the edges
+            # are never consumed afterwards.)
             upd_left = complete & ~going_right
             upd_right = complete & going_right
             left = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(upd_left, a, b), new, c.left
+                lambda a, b: jnp.where(upd_left, a, b), new2, c.left
             )
             right = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(upd_right, a, b), new, c.right
+                lambda a, b: jnp.where(upd_right, a, b), new2, c.right
             )
-            r_sum_tree = jnp.where(complete, c.r_sum + sub_r_sum, c.r_sum)
+            r_sum_tree = jnp.where(complete, c.r_sum + sum_b, c.r_sum)
             turning_full = _is_turning(r_sum_tree, left.r, right.r, inv_mass)
             turning = jnp.where(
                 complete, sub_turn | (valid & turning_full), c.turning
             )
-            diverging = jnp.where(complete, leaf_div, c.diverging)
+            diverging = jnp.where(complete, pair_div, c.diverging)
             log_weight = jnp.where(
                 complete, jnp.logaddexp(c.log_weight, sub_lw), c.log_weight
             )
@@ -309,23 +364,27 @@ def make_nuts_kernel(
                 depth=c.depth + complete.astype(jnp.int32),
                 turning=turning,
                 diverging=diverging,
-                sum_accept=c.sum_accept + accept_stat,
-                num_leaves=c.num_leaves + 1,
-                sub_last=new,
+                sum_accept=c.sum_accept
+                + acc1
+                + jnp.where(b_valid, acc2, 0.0),
+                num_leaves=c.num_leaves + 1 + b_valid.astype(jnp.int32),
+                sub_last=new2,
                 sub_proposal=sub_proposal,
                 sub_log_weight=sub_lw,
-                sub_r_sum=sub_r_sum,
-                sub_leaf=jnp.where(complete, 0, leaf_idx + 1),
+                sub_r_sum=sum_b,
+                sub_leaf=jnp.where(complete, 0, leaf_b + 1),
                 going_right=going_right,
                 r_ckpts=r_ckpts,
                 r_sum_ckpts=r_sum_ckpts,
             )
 
         if static_schedule:
-            # Fixed trip count: run 2^max_tree_depth - 1 iterations always,
-            # freezing the carry once the dynamic loop would have exited.
-            # The wasted iterations still evaluate the (masked-out) leapfrog,
-            # keeping any in-likelihood collective schedule uniform.
+            # Fixed trip count: run 2^(max_tree_depth-1) - 1 pair iterations
+            # always (the peeled root leaf runs unconditionally), freezing
+            # the carry once the dynamic loop would have exited. The wasted
+            # iterations still evaluate the (masked-out) leapfrogs, keeping
+            # any in-likelihood collective schedule uniform: every chain row
+            # executes exactly 2 likelihood evaluations per iteration.
             def scan_body(c, _):
                 active = cond(c)
                 c_next = jax.tree_util.tree_map(
@@ -334,15 +393,22 @@ def make_nuts_kernel(
                 return c_next, None
 
             tree, _ = jax.lax.scan(
-                scan_body, carry0, None, length=(1 << max_tree_depth) - 1
+                scan_body, carry0, None,
+                length=(1 << (max_tree_depth - 1)) - 1,
             )
         else:
             tree = jax.lax.while_loop(cond, body, carry0)
 
+        # One extra vag per draw to rebuild the selected state's cached
+        # density/gradient (see _Proposal: cheaper than selecting both per
+        # leaf inside the loop). On the data-sharded path this fires exactly
+        # once per draw on every chain row, so the collective schedule stays
+        # uniform.
+        log_prob_new, grad_new = value_and_grad(tree.proposal.z)
         new_state = HMCState(
             position=tree.proposal.z,
-            log_prob=tree.proposal.log_prob,
-            grad=tree.proposal.grad,
+            log_prob=log_prob_new,
+            grad=grad_new,
         )
         accept_prob = tree.sum_accept / jnp.maximum(
             tree.num_leaves.astype(jnp.float32), 1.0
