@@ -49,9 +49,12 @@ CONFIGS = {
     ),
     # FLAGSHIP (default): bf16 design matrix + fused single-pass Pallas
     # value+grad (2-D grid, shared-exp epilogue), same posterior as glm100.
-    # Measured r2 progression @4096 chains: plain XLA 296k ess/s -> fused
-    # 337k -> +single-threefry-per-leaf 348k -> depth cap 6: 359k (wall
-    # 10.06 s, 0 divergences). max_tree_depth=6 is a config choice, not a
+    # Measured progression @4096 chains: plain XLA 296k ess/s -> fused
+    # 337k -> +single-threefry-per-leaf 348k -> depth cap 6: 359k -> tanh
+    # epilogue 403k -> paired-leaf loop 444k -> compiled-runner cache 1.73M
+    # (wall 2.09 s, MFU 36.6%, 0 divergences; the warm run is pure device
+    # time now that sample() reuses the traced program).
+    # max_tree_depth=6 is a config choice, not a
     # bias: adapted trajectories U-turn at depth 3 (2^6-1=63 leapfrogs of
     # headroom) and min-ESS is unchanged vs depth 8 — smaller checkpoint
     # buffers cut the while-carry traffic.
@@ -74,8 +77,10 @@ CONFIGS = {
     # On TPU the MXU already computes f32 matmuls at bf16 operand precision,
     # so bf16 storage is numerically free; the fused kernel is what turns it
     # into bandwidth (XLA's autodiff upcasts X in the backward pass).
+    # 256 chains measured best (30.4k ess/s r3, vs 2.1k @128 r2): the wider
+    # chain batch fills the MXU lane dim at this large-K contraction.
     "glm1000_fused": dict(
-        num_features=1000, num_obs=100_000, num_chains=128,
+        num_features=1000, num_obs=100_000, num_chains=256,
         num_warmup=400, num_samples=400, max_tree_depth=8,
         baseline_ess_per_sec=0.03, fused=True,
         label=(

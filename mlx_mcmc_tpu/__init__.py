@@ -50,6 +50,7 @@ from mlx_mcmc_tpu.inference import (
     ADVIResult,
     fit_advi,
     SMCResult,
+    clear_runner_cache,
     sample,
     sample_posterior_predictive,
     sample_ensemble,
@@ -84,6 +85,7 @@ __all__ = [
     "MCMCResult",
     "sample",
     "sample_posterior_predictive",
+    "clear_runner_cache",
     "TemperedResult",
     "sample_tempered",
     "ADVIResult",

@@ -2,6 +2,7 @@
 
 from mlx_mcmc_tpu.inference.api import (
     MCMCResult,
+    clear_runner_cache,
     sample,
     sample_posterior_predictive,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "MCMCResult",
     "sample",
     "sample_posterior_predictive",
+    "clear_runner_cache",
     "build_sampler",
     "make_kernel",
     "TemperedResult",

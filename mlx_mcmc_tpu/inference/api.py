@@ -37,6 +37,48 @@ def _as_key(seed) -> jnp.ndarray:
     return seed
 
 
+def _hashable(v) -> bool:
+    try:
+        hash(v)
+    except TypeError:
+        return False
+    return True
+
+
+def _param_spec(tree):
+    """Structure key for a params pytree: treedef + leaf shapes/dtypes.
+
+    Never materializes device arrays on the host — only ``.shape``/``.dtype``
+    attributes (or ``np.result_type`` for Python scalars/lists) are touched.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+
+    def spec(leaf):
+        if hasattr(leaf, "shape") and hasattr(leaf, "dtype"):
+            return tuple(leaf.shape), str(leaf.dtype)
+        return np.shape(leaf), str(np.result_type(leaf))
+
+    return treedef, tuple(spec(leaf) for leaf in leaves)
+
+
+# Compiled-runner cache: repeated ``sample()`` calls with the same static
+# configuration (model fn identity, param structure, kernel settings) reuse
+# the traced+jitted program instead of rebuilding it. Re-TRACING the full
+# warmup+sampling scan program is pure host work and measures ~6 s at the
+# flagship shape (4096 chains, depth-6 NUTS) — most of a warm run's wall.
+# Runtime quantities (seed, data, chain count, initial values) are ordinary
+# jit arguments, so they never invalidate the cache; jit itself retraces on
+# shape changes. Keyed by object identity for functions (as jax.jit is);
+# entries pin their functions, so ids cannot be recycled while cached.
+_RUNNER_CACHE: Dict[Any, Any] = {}
+_RUNNER_CACHE_MAX = 64
+
+
+def clear_runner_cache() -> None:
+    """Drop all cached compiled runners (see ``sample``'s caching note)."""
+    _RUNNER_CACHE.clear()
+
+
 @dataclass
 class MCMCResult:
     """Posterior draws plus per-draw sampler diagnostics.
@@ -160,6 +202,15 @@ def sample(
     ``config`` (a :class:`mlx_mcmc_tpu.utils.SamplerConfig`) supplies the run
     settings in one typed object; its fields replace the corresponding
     keyword arguments.
+
+    Repeated calls with the same static configuration (same ``log_prob_fn``
+    object, parameter structure, kernel settings) reuse a cached compiled
+    runner: only the first call pays tracing+compilation; later calls are
+    device-bound. Seed, ``data`` and initial parameter *values* are runtime
+    arguments and never invalidate the cache. The cache keys functions by
+    object identity (like ``jax.jit``) — if you mutate state a model closure
+    captures, pass it via ``data`` instead, or call
+    :func:`clear_runner_cache`.
     """
     if config is not None:
         kw = config.to_kwargs()
@@ -172,50 +223,90 @@ def sample(
             data=data,
             **kw,
         )
-    if transforms:
-        from mlx_mcmc_tpu.distributions.transforms import make_transformed_logprob
-
-        log_prob_fn, to_constrained, to_unconstrained = make_transformed_logprob(
-            log_prob_fn, transforms, data_aware=data is not None
-        )
-        if batched_initial:
-            initial_params = jax.vmap(to_unconstrained)(
-                jax.tree_util.tree_map(
-                    lambda x: jnp.asarray(x, jnp.result_type(float)), initial_params
-                )
-            )
-        else:
-            initial_params = to_unconstrained(
-                jax.tree_util.tree_map(
-                    lambda x: jnp.asarray(x, jnp.result_type(float)), initial_params
-                )
-            )
-    else:
-        to_constrained = None
-    if batched_initial:
-        example = jax.tree_util.tree_map(
-            lambda x: jnp.asarray(x, jnp.result_type(float))[0], initial_params
-        )
-        flat_log_prob, z0, unravel = make_flat_logprob(
-            log_prob_fn, example, data_aware=data is not None
-        )
-        from mlx_mcmc_tpu.ops.ravel import ravel_params
-
-        z0_batched = jax.vmap(lambda tree: ravel_params(tree)[0])(
-            jax.tree_util.tree_map(
-                lambda x: jnp.asarray(x, jnp.result_type(float)), initial_params
-            )
-        )
-    else:
-        flat_log_prob, z0, unravel = make_flat_logprob(
-            log_prob_fn, initial_params, data_aware=data is not None
-        )
-        z0_batched = None
-    dim = z0.shape[0]
-
     if init_strategy not in ("tile", "map", "advi"):
         raise ValueError(f"Unknown init_strategy: {init_strategy!r}")
     step_size = resolve_step_size(step_size, kernel, adapt_step_size)
+
+    # --- compiled-runner cache lookup (see _RUNNER_CACHE above) ---
+    # 'advi' mutates kernel_kwargs after the key is computed (it injects an
+    # init_inv_mass_diag array), so that strategy always rebuilds.
+    cacheable = (
+        init_strategy != "advi"
+        and _hashable(target_accept)
+        and _hashable(step_size)
+        and all(_hashable(v) for v in kernel_kwargs.values())
+        and (
+            transforms is None
+            or all(_hashable(v) for v in transforms.values())
+        )
+    )
+    entry = cache_key = None
+    if cacheable:
+        treedef, leafspec = _param_spec(initial_params)
+        cache_key = (
+            id(log_prob_fn),
+            None
+            if transforms is None
+            else tuple(sorted(transforms.items(), key=lambda kv: kv[0])),
+            bool(batched_initial),
+            treedef,
+            leafspec,
+            data is not None,
+            kernel,
+            int(num_samples),
+            int(num_warmup),
+            step_size,
+            bool(adapt_step_size),
+            bool(adapt_mass_matrix),
+            target_accept,
+            tuple(sorted(kernel_kwargs.items(), key=lambda kv: kv[0])),
+        )
+        entry = _RUNNER_CACHE.get(cache_key)
+
+    if entry is not None:
+        lp_fn = entry["lp_fn"]
+        to_constrained = entry["to_constrained"]
+        to_unconstrained = entry["to_unconstrained"]
+    elif transforms:
+        from mlx_mcmc_tpu.distributions.transforms import make_transformed_logprob
+
+        lp_fn, to_constrained, to_unconstrained = make_transformed_logprob(
+            log_prob_fn, transforms, data_aware=data is not None
+        )
+    else:
+        lp_fn, to_constrained, to_unconstrained = log_prob_fn, None, None
+
+    # Per-call VALUE work (initial positions): never cached.
+    if to_unconstrained is not None:
+        conv = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, jnp.result_type(float)), initial_params
+        )
+        initial_params = (
+            jax.vmap(to_unconstrained)(conv)
+            if batched_initial
+            else to_unconstrained(conv)
+        )
+    from mlx_mcmc_tpu.ops.ravel import ravel_params
+
+    if batched_initial:
+        floated = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, jnp.result_type(float)), initial_params
+        )
+        example = jax.tree_util.tree_map(lambda x: x[0], floated)
+        z0 = ravel_params(example)[0]
+        z0_batched = jax.vmap(lambda tree: ravel_params(tree)[0])(floated)
+    else:
+        example = initial_params
+        z0 = ravel_params(example)[0]
+        z0_batched = None
+    dim = z0.shape[0]
+
+    if entry is None:
+        flat_log_prob, _, unravel = make_flat_logprob(
+            lp_fn, example, data_aware=data is not None
+        )
+    else:
+        flat_log_prob, unravel = entry["flat_log_prob"], entry["unravel"]
 
     key = _as_key(seed)
     key_init, key_run = jax.random.split(key)
@@ -250,25 +341,47 @@ def sample(
         if "init_inv_mass_diag" not in kernel_kwargs:
             kernel_kwargs["init_inv_mass_diag"] = advi_inv_mass
 
-    run = build_sampler(
-        flat_log_prob,
-        dim,
-        kernel=kernel,
-        num_warmup=num_warmup,
-        num_samples=num_samples,
-        step_size=step_size,
-        adapt_step_size=adapt_step_size,
-        adapt_mass_matrix=adapt_mass_matrix,
-        target_accept=target_accept,
-        **kernel_kwargs,
-    )
+    if entry is None:
+        run = build_sampler(
+            flat_log_prob,
+            dim,
+            kernel=kernel,
+            num_warmup=num_warmup,
+            num_samples=num_samples,
+            step_size=step_size,
+            adapt_step_size=adapt_step_size,
+            adapt_mass_matrix=adapt_mass_matrix,
+            target_accept=target_accept,
+            **kernel_kwargs,
+        )
+        vv_unravel = jax.vmap(jax.vmap(unravel))
+        if to_constrained is None:
+            post = jax.jit(vv_unravel)
+        else:
+            post = jax.jit(lambda positions: to_constrained(vv_unravel(positions)))
+        entry = {
+            "lp_fn": lp_fn,
+            "to_constrained": to_constrained,
+            "to_unconstrained": to_unconstrained,
+            "flat_log_prob": flat_log_prob,
+            "unravel": unravel,
+            "jitted_run": jax.jit(run),
+            "sched": run.sched,
+            "post": post,
+            # pin the user fn so its id() can't be recycled while cached
+            "pin": log_prob_fn,
+        }
+        if cacheable:
+            if len(_RUNNER_CACHE) >= _RUNNER_CACHE_MAX:
+                _RUNNER_CACHE.pop(next(iter(_RUNNER_CACHE)))
+            _RUNNER_CACHE[cache_key] = entry
 
     chain_keys = make_chain_keys(key_run, num_chains)
-    result: ChainResult = jax.jit(run)(chain_keys, z0_batch, data, None, run.sched)
+    result: ChainResult = entry["jitted_run"](
+        chain_keys, z0_batch, data, None, entry["sched"]
+    )
 
-    samples = jax.vmap(jax.vmap(unravel))(result.positions)
-    if to_constrained is not None:
-        samples = to_constrained(samples)
+    samples = entry["post"](result.positions)
     return MCMCResult(
         samples=samples,
         info=result.info,

@@ -34,17 +34,29 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from mlx_mcmc_tpu.inference.api import MCMCResult, _as_key
+from mlx_mcmc_tpu.inference.api import MCMCResult, _as_key, _hashable, _param_spec
 from mlx_mcmc_tpu.inference.engine import (
     build_sampler,
     make_chain_keys,
     prepare_initial_positions,
     resolve_step_size,
 )
-from mlx_mcmc_tpu.ops.ravel import make_flat_logprob
+from mlx_mcmc_tpu.ops.ravel import make_flat_logprob, ravel_params
 from mlx_mcmc_tpu.parallel.mesh import chain_mesh
 
 from jax import shard_map  # public API since jax 0.8
+
+# Compiled-runner cache, same rationale and identity semantics as
+# ``inference.api._RUNNER_CACHE``: re-tracing the sharded program is pure
+# host work (seconds at production shapes); seed/data/initial values are jit
+# runtime arguments. Keyed additionally on the Mesh and partition specs.
+_SHARDED_CACHE: dict = {}
+_SHARDED_CACHE_MAX = 32
+
+
+def clear_sharded_runner_cache() -> None:
+    """Drop all cached compiled sharded runners."""
+    _SHARDED_CACHE.clear()
 
 
 def _sharded_engine_run(
@@ -98,6 +110,133 @@ def _sharded_engine_run(
             raise ValueError(
                 f"data_axis {data_axis!r} not in mesh axes {tuple(mesh.shape)}"
             )
+        if kernel == "nuts" and kernel_kwargs.get("static_schedule") is False:
+            raise ValueError(
+                "kernel='nuts' with data_axis requires the static "
+                "schedule (static_schedule=True, the default here): a "
+                "data-dependent tree loop would desynchronize the "
+                "per-leapfrog psum across chain rows"
+            )
+
+    # --- compiled-runner cache lookup (see _SHARDED_CACHE above) ---
+    cacheable = (
+        _hashable(target_accept)
+        and _hashable(step_size)
+        and all(_hashable(v) for v in kernel_kwargs.values())
+    )
+    entry = cache_key = None
+    if cacheable:
+        specs_key = None
+        if data_specs is not None:
+            ds_leaves, ds_tree = jax.tree_util.tree_flatten(
+                data_specs, is_leaf=lambda x: isinstance(x, P)
+            )
+            specs_key = (ds_tree, tuple(ds_leaves))
+        cache_key = (
+            id(log_prob_fn),
+            None if log_prior_fn is None else id(log_prior_fn),
+            _param_spec(initial_params),
+            None if data is None else _param_spec(data),
+            mesh,
+            axis,
+            data_axis,
+            specs_key,
+            kernel,
+            int(num_samples),
+            int(num_warmup),
+            step_size,
+            bool(adapt_step_size),
+            bool(adapt_mass_matrix),
+            target_accept,
+            bool(device_diagnostics),
+            int(warmup_start),
+            warmup_stop,
+            tuple(sorted(kernel_kwargs.items(), key=lambda kv: kv[0])),
+        )
+        entry = _SHARDED_CACHE.get(cache_key)
+
+    if entry is None:
+        entry = _build_sharded_runner(
+            log_prob_fn,
+            initial_params,
+            kernel=kernel,
+            num_samples=num_samples,
+            num_warmup=num_warmup,
+            step_size=step_size,
+            adapt_step_size=adapt_step_size,
+            adapt_mass_matrix=adapt_mass_matrix,
+            target_accept=target_accept,
+            mesh=mesh,
+            axis=axis,
+            device_diagnostics=device_diagnostics,
+            data=data,
+            data_axis=data_axis,
+            data_specs=data_specs,
+            log_prior_fn=log_prior_fn,
+            warmup_start=warmup_start,
+            warmup_stop=warmup_stop,
+            kernel_kwargs=kernel_kwargs,
+        )
+        if cacheable:
+            if len(_SHARDED_CACHE) >= _SHARDED_CACHE_MAX:
+                _SHARDED_CACHE.pop(next(iter(_SHARDED_CACHE)))
+            _SHARDED_CACHE[cache_key] = entry
+
+    key = _as_key(seed)
+    key_init, key_run = jax.random.split(key)
+    if z0_batch_override is not None:
+        z0_batch = jnp.asarray(z0_batch_override)
+    else:
+        # ravel_params applies the same float conversion make_flat_logprob
+        # used at build time, so z0 matches the traced program's dtype.
+        z0_batch = prepare_initial_positions(
+            ravel_params(initial_params)[0], num_chains, key_init, jitter
+        )
+    chain_keys = make_chain_keys(key_run, num_chains)
+
+    positions, info, tiled_tunables, final_state, tiled_adapt, stats = entry[
+        "jitted"
+    ](chain_keys, z0_batch, data, resume_state, entry["sched"])
+    tunables = jax.tree_util.tree_map(lambda x: x[0], tiled_tunables)
+    # Adaptation pytrees stay TILED with their leading (shards,) axis: the
+    # Welford moments are per-shard state (see shard_run), so a mid-warmup
+    # checkpoint must round-trip all of them, not shard 0's.
+    adapt, traj = tiled_adapt
+    if device_diagnostics:
+        stats = jax.tree_util.tree_map(lambda x: x[0], stats)
+    return (
+        positions, info, tunables, final_state, adapt, traj, stats,
+        entry["unravel"], entry["dim"],
+    )
+
+
+def _build_sharded_runner(
+    log_prob_fn,
+    initial_params,
+    *,
+    kernel,
+    num_samples,
+    num_warmup,
+    step_size,
+    adapt_step_size,
+    adapt_mass_matrix,
+    target_accept,
+    mesh,
+    axis,
+    device_diagnostics,
+    data,
+    data_axis,
+    data_specs,
+    log_prior_fn,
+    warmup_start,
+    warmup_stop,
+    kernel_kwargs,
+):
+    """Trace-and-jit the sharded engine program (the expensive host work
+    ``_SHARDED_CACHE`` amortizes). Uses ``initial_params``/``data`` only for
+    structure and partition specs — values flow in at call time."""
+    kernel_kwargs = dict(kernel_kwargs)  # never mutate the caller's dict
+    if data_axis is not None:
         if kernel == "nuts":
             # NUTS's dynamic tree loop has a data-dependent trip count; a
             # psum inside it fires a per-chain-row number of times, which
@@ -106,13 +245,6 @@ def _sharded_engine_run(
             # leapfrogs, bit-identical draws), making the psum schedule
             # uniform — mandatory on the data axis. Cost: ~(2^d - 1)/mean
             # leaves more likelihood math; keep max_tree_depth modest (6-8).
-            if kernel_kwargs.get("static_schedule") is False:
-                raise ValueError(
-                    "kernel='nuts' with data_axis requires the static "
-                    "schedule (static_schedule=True, the default here): a "
-                    "data-dependent tree loop would desynchronize the "
-                    "per-leapfrog psum across chain rows"
-                )
             kernel_kwargs["static_schedule"] = True
         user_log_prob = log_prob_fn
 
@@ -172,14 +304,6 @@ def _sharded_engine_run(
         warmup_stop=warmup_stop,
         **kernel_kwargs,
     )
-
-    key = _as_key(seed)
-    key_init, key_run = jax.random.split(key)
-    if z0_batch_override is not None:
-        z0_batch = jnp.asarray(z0_batch_override)
-    else:
-        z0_batch = prepare_initial_positions(z0, num_chains, key_init, jitter)
-    chain_keys = make_chain_keys(key_run, num_chains)
 
     def shard_run(chain_keys_shard, z0_shard, data_shard, resume_rep, sched):
         if resume_rep is not None:
@@ -269,20 +393,14 @@ def _sharded_engine_run(
         check_vma=False,
     )
 
-    positions, info, tiled_tunables, final_state, tiled_adapt, stats = (
-        jax.jit(sharded)(chain_keys, z0_batch, data, resume_state, run.sched)
-    )
-    tunables = jax.tree_util.tree_map(lambda x: x[0], tiled_tunables)
-    # Adaptation pytrees stay TILED with their leading (shards,) axis: the
-    # Welford moments are per-shard state (see shard_run), so a mid-warmup
-    # checkpoint must round-trip all of them, not shard 0's.
-    adapt, traj = tiled_adapt
-    if device_diagnostics:
-        stats = jax.tree_util.tree_map(lambda x: x[0], stats)
-    return (
-        positions, info, tunables, final_state, adapt, traj, stats,
-        unravel, dim,
-    )
+    return {
+        "jitted": jax.jit(sharded),
+        "sched": run.sched,
+        "unravel": unravel,
+        "dim": dim,
+        # pin function identities so their ids can't be recycled while cached
+        "pin": (log_prob_fn, log_prior_fn, kernel_kwargs),
+    }
 
 
 def sample_sharded(
