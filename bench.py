@@ -58,9 +58,17 @@ CONFIGS = {
     # bias: adapted trajectories U-turn at depth 3 (2^6-1=63 leapfrogs of
     # headroom) and min-ESS is unchanged vs depth 8 — smaller checkpoint
     # buffers cut the while-carry traffic.
+    # num_warmup=300: with 4096 chains the dual-averaging and Welford
+    # statistics are pooled across the whole batch every step, so windowed
+    # adaptation converges far faster than single-chain Stan defaults
+    # assume. Measured (BENCH_WARMUP sweep, r3): min-ESS 3.619M @500 /
+    # 3.634M @300 / 3.612M @200 warmup steps — identical posterior quality,
+    # 0 divergences, accept 0.793 throughout; 300 keeps a 50% margin over
+    # the shortest validated schedule. ess/s: 1.74M @500, 2.07M @300,
+    # 2.39M @200.
     "glm100_fused": dict(
         num_features=100, num_obs=10_000, num_chains=4096,
-        num_warmup=500, num_samples=500, max_tree_depth=6,
+        num_warmup=300, num_samples=500, max_tree_depth=6,
         baseline_ess_per_sec=0.44, fused=True,
         label=(
             "min-ESS/sec/chip, NUTS 100-param logistic GLM "
@@ -286,12 +294,23 @@ def _bench_config(cfg, target_accept=0.8):
         @jax.jit
         def ess_fn(samples):
             # min-ESS across EVERY parameter (not just the largest block).
-            return jnp.concatenate(
-                [
-                    device_ess(v.reshape(v.shape[0], v.shape[1], -1))
-                    for v in samples.values()
-                ]
-            )
+            # Wide-chain runs chunk the param axis through lax.map: the FFT
+            # autocovariance materializes (chains, pad, P) complex
+            # intermediates, which OOMs HBM at 8192 chains x 100 params on
+            # top of the live draw store — 4 sequential chunks cut the peak
+            # 4x for a few ms of extra dispatch.
+            outs = []
+            for v in samples.values():
+                v3 = v.reshape(v.shape[0], v.shape[1], -1)
+                p = v3.shape[-1]
+                if v3.shape[0] * p > 4096 * 100 and p % 4 == 0:
+                    chunks = jnp.moveaxis(
+                        v3.reshape(v3.shape[0], v3.shape[1], 4, p // 4), 2, 0
+                    )
+                    outs.append(jax.lax.map(device_ess, chunks).reshape(-1))
+                else:
+                    outs.append(device_ess(v3))
+            return jnp.concatenate(outs)
 
     def all_ess_host(samples):
         return np.concatenate(
@@ -358,6 +377,8 @@ def main() -> None:
         cfg = dict(cfg, num_chains=int(os.environ["BENCH_CHAINS"]))
     if os.environ.get("BENCH_SAMPLES"):  # draw-count override (storage sweeps)
         cfg = dict(cfg, num_samples=int(os.environ["BENCH_SAMPLES"]))
+    if os.environ.get("BENCH_WARMUP"):  # warmup-length override
+        cfg = dict(cfg, num_warmup=int(os.environ["BENCH_WARMUP"]))
     if os.environ.get("BENCH_TILE"):  # Pallas row-tile sweeps (fused configs)
         cfg = dict(cfg, tile_n=int(os.environ["BENCH_TILE"]))
     if os.environ.get("BENCH_DEPTH"):  # max_tree_depth sweeps

@@ -422,8 +422,27 @@ def sample_posterior_predictive(
             lambda d: jax.random.fold_in(jax.random.fold_in(key, c), d)
         )(jnp.arange(num_draws))
     )(jnp.arange(num_chains))
-    if data is not None:
-        fn = lambda k, p: predictive_fn(k, p, data)  # noqa: E731
+    # Same compiled-runner caching as sample(): keyed on the predictive fn's
+    # identity; data flows as a jit ARGUMENT (a closure constant would be
+    # serialized into the program — breaks remote compile for big datasets).
+    cache_key = (id(predictive_fn), data is not None)
+    hit = _RUNNER_CACHE.get(cache_key)
+    if hit is None:
+        if data is not None:
+            pp = jax.jit(
+                jax.vmap(
+                    jax.vmap(predictive_fn, in_axes=(0, 0, None)),
+                    in_axes=(0, 0, None),
+                )
+            )
+        else:
+            pp = jax.jit(jax.vmap(jax.vmap(predictive_fn)))
+        if len(_RUNNER_CACHE) >= _RUNNER_CACHE_MAX:
+            _RUNNER_CACHE.pop(next(iter(_RUNNER_CACHE)))
+        # the second element pins predictive_fn's id while cached
+        _RUNNER_CACHE[cache_key] = (pp, predictive_fn)
     else:
-        fn = predictive_fn
-    return jax.jit(jax.vmap(jax.vmap(fn)))(keys, samples)
+        pp = hit[0]
+    if data is not None:
+        return pp(keys, samples, data)
+    return pp(keys, samples)
