@@ -85,8 +85,9 @@ CONFIGS = {
     # On TPU the MXU already computes f32 matmuls at bf16 operand precision,
     # so bf16 storage is numerically free; the fused kernel is what turns it
     # into bandwidth (XLA's autodiff upcasts X in the backward pass).
-    # 256 chains measured best (30.4k ess/s r3, vs 2.1k @128 r2): the wider
-    # chain batch fills the MXU lane dim at this large-K contraction.
+    # 256 chains measured best (54.3k ess/s / 67.8% MFU r3 with the runner
+    # cache, vs 2.1k @128 r2): the wider chain batch fills the MXU lane dim
+    # at this large-K (1024) contraction.
     "glm1000_fused": dict(
         num_features=1000, num_obs=100_000, num_chains=256,
         num_warmup=400, num_samples=400, max_tree_depth=8,
