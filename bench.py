@@ -65,7 +65,8 @@ CONFIGS = {
     # 3.634M @300 / 3.612M @200 warmup steps — identical posterior quality,
     # 0 divergences, accept 0.793 throughout; 300 keeps a 50% margin over
     # the shortest validated schedule. ess/s: 1.74M @500, 2.07M @300,
-    # 2.39M @200.
+    # 2.39M @200. Seed-robust: 5 seeds at warmup=300 give min-ESS spread
+    # 1.02% and 0 total divergences.
     "glm100_fused": dict(
         num_features=100, num_obs=10_000, num_chains=4096,
         num_warmup=300, num_samples=500, max_tree_depth=6,
