@@ -79,6 +79,26 @@ def clear_runner_cache() -> None:
     _RUNNER_CACHE.clear()
 
 
+def _reuse_jit(tag: str, key_items: tuple, fn, pin=()):
+    """Memoize ``jax.jit(fn)`` under ``(tag, *key_items)``.
+
+    ``fn`` is rebuilt by the caller every call (cheap); what this avoids is
+    re-TRACING, which jax.jit would do for every fresh closure object.
+    CORRECTNESS CONTRACT: ``key_items`` must cover every value baked into
+    ``fn``'s trace as a constant — anything else must be an argument of
+    ``fn``. ``pin`` keeps id()-keyed objects alive while cached. Callers
+    must fall back to plain ``jax.jit`` when any key item is unhashable.
+    """
+    key = (tag,) + tuple(key_items)
+    hit = _RUNNER_CACHE.get(key)
+    if hit is None:
+        hit = (jax.jit(fn), pin)
+        if len(_RUNNER_CACHE) >= _RUNNER_CACHE_MAX:
+            _RUNNER_CACHE.pop(next(iter(_RUNNER_CACHE)))
+        _RUNNER_CACHE[key] = hit
+    return hit[0]
+
+
 @dataclass
 class MCMCResult:
     """Posterior draws plus per-draw sampler diagnostics.

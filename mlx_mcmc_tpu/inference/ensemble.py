@@ -94,6 +94,7 @@ def sample_ensemble(
     if a <= 1.0:
         raise ValueError("stretch scale a must be > 1")
 
+    user_log_prob_fn = log_prob_fn
     to_constrained = None
     if transforms:
         from mlx_mcmc_tpu.distributions.transforms import (
@@ -117,7 +118,7 @@ def sample_ensemble(
     key = _as_key(seed)
     key_init, key_run = jax.random.split(key)
 
-    def run(key_run, z0, data):
+    def run(key_init, key_run, z0, data):
         if data is None:
             lp_one = flat_log_prob
         else:
@@ -184,7 +185,37 @@ def sample_ensemble(
         )
         return positions, infos
 
-    positions, infos = jax.jit(run)(key_run, z0, data)
+    # Reuse the traced program across calls (see api._reuse_jit contract:
+    # every closure constant of `run` appears in the key; keys/z0/data are
+    # arguments). Unhashable transform values fall back to a fresh jit.
+    from mlx_mcmc_tpu.inference.api import _hashable, _param_spec, _reuse_jit
+
+    t_key = (
+        None
+        if not transforms
+        else tuple(sorted(transforms.items(), key=lambda kv: kv[0]))
+    )
+    if t_key is None or all(_hashable(v) for _, v in t_key):
+        jrun = _reuse_jit(
+            "ensemble",
+            (
+                id(user_log_prob_fn),
+                t_key,
+                _param_spec(initial_params),
+                data is not None,
+                num_walkers,
+                int(num_samples),
+                int(num_warmup),
+                int(thin),
+                float(a),
+                float(jitter),
+            ),
+            run,
+            pin=user_log_prob_fn,
+        )
+    else:
+        jrun = jax.jit(run)
+    positions, infos = jrun(key_init, key_run, z0, data)
     samples = jax.vmap(jax.vmap(unravel))(positions)
     if to_constrained is not None:
         samples = to_constrained(samples)

@@ -104,6 +104,7 @@ def sample_smc(
     if not 0.0 < ess_target < 1.0:
         raise ValueError("ess_target must be in (0, 1)")
 
+    user_log_prob_fn = log_prob_fn
     to_constrained = None
     if transforms:
         from mlx_mcmc_tpu.distributions.transforms import (
@@ -242,7 +243,35 @@ def sample_smc(
         )
         return particles, log_z, stages, acc, beta
 
-    particles_flat, log_z, stages, acc, beta = jax.jit(run)(key, z0, data)
+    # Reuse the traced program across calls (api._reuse_jit contract: every
+    # closure constant of `run` is in the key; key/z0/data are arguments).
+    from mlx_mcmc_tpu.inference.api import _hashable, _param_spec, _reuse_jit
+
+    t_key = (
+        None
+        if not transforms
+        else tuple(sorted(transforms.items(), key=lambda kv: kv[0]))
+    )
+    if t_key is None or all(_hashable(v) for _, v in t_key):
+        jrun = _reuse_jit(
+            "smc",
+            (
+                id(user_log_prob_fn),
+                t_key,
+                _param_spec(initial_params),
+                data is not None,
+                int(num_particles),
+                int(num_mutations),
+                float(ess_target),
+                int(max_stages),
+                float(q0_scale),
+            ),
+            run,
+            pin=user_log_prob_fn,
+        )
+    else:
+        jrun = jax.jit(run)
+    particles_flat, log_z, stages, acc, beta = jrun(key, z0, data)
     particles = jax.vmap(unravel)(particles_flat)
     if to_constrained is not None:
         particles = to_constrained(particles)

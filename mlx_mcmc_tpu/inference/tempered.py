@@ -148,6 +148,7 @@ def sample_tempered(
             "kernel='chees' is not supported under tempering (its trajectory "
             "adaptation is a single global state); use 'hmc', 'mala' or 'nuts'"
         )
+    user_log_prob_fn = log_prob_fn
     if transforms:
         from mlx_mcmc_tpu.distributions.transforms import make_transformed_logprob
 
@@ -344,7 +345,46 @@ def sample_tempered(
     key_init, key_run = jax.random.split(key)
     z0_batch = prepare_initial_positions(z0, num_chains, key_init, jitter)
     chain_keys = make_chain_keys(key_run, num_chains)
-    positions, infos, swap_acc, final_tunables = jax.jit(run)(
+    # Reuse the traced program across calls (api._reuse_jit contract: every
+    # closure constant of `run` — incl. the beta ladder and the warmup
+    # schedule's (num_warmup, adapt_mass_matrix) inputs — is in the key;
+    # chain_keys/z0_batch/data are arguments).
+    from mlx_mcmc_tpu.inference.api import _hashable, _param_spec, _reuse_jit
+
+    t_key = (
+        None
+        if not transforms
+        else tuple(sorted(transforms.items(), key=lambda kv: kv[0]))
+    )
+    hashable_ok = (
+        (t_key is None or all(_hashable(v) for _, v in t_key))
+        and all(_hashable(v) for v in kernel_kwargs.values())
+        and _hashable(step_size)
+    )
+    if hashable_ok:
+        jrun = _reuse_jit(
+            "tempered",
+            (
+                id(user_log_prob_fn),
+                t_key,
+                _param_spec(initial_params),
+                data is not None,
+                kernel,
+                tuple(float(b) for b in betas_np),
+                int(num_samples),
+                int(num_warmup),
+                step_size,
+                bool(adapt_step_size),
+                bool(adapt_mass_matrix),
+                float(target_accept),
+                tuple(sorted(kernel_kwargs.items(), key=lambda kv: kv[0])),
+            ),
+            run,
+            pin=user_log_prob_fn,
+        )
+    else:
+        jrun = jax.jit(run)
+    positions, infos, swap_acc, final_tunables = jrun(
         chain_keys, z0_batch, data
     )
 

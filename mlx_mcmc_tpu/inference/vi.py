@@ -61,49 +61,59 @@ def fit_advi_flat(
     """
     import optax
 
-    if data is not None:
-        base_lp = flat_log_prob
-        flat_log_prob = lambda z: base_lp(z, data)  # noqa: E731
+    from mlx_mcmc_tpu.inference.api import _reuse_jit
+
+    data_aware = data is not None
+    base_lp = flat_log_prob
 
     z0 = jnp.asarray(z0, jnp.float32)
     dim = z0.shape[0]
     mu0 = z0
     log_sigma0 = jnp.full((dim,), init_log_sigma, jnp.float32)
 
-    def neg_elbo(var_params, eps):
-        mu, log_sigma = var_params
-        sigma = jnp.exp(log_sigma)
-        z = mu + sigma * eps  # (M, D) reparameterized draws
-        logp = jax.vmap(flat_log_prob)(z)
-        # Sticking the landing: score q at stop_gradient'ed variational
-        # params so only the path derivative flows — zero-variance at optima.
-        mu_s = jax.lax.stop_gradient(mu)
-        ls_s = jax.lax.stop_gradient(log_sigma)
-        logq = jnp.sum(
-            -0.5 * ((z - mu_s) * jnp.exp(-ls_s)) ** 2 - ls_s - 0.5 * _LOG_2PI,
-            axis=-1,
-        )
-        return -jnp.mean(logp - logq)
+    # key and data are jit ARGUMENTS (not closure constants): a captured
+    # dataset would be serialized into the program (breaks remote compile
+    # for big arrays), and a captured key would freeze the fit's randomness
+    # into the cached trace.
+    def fit(var_params0, key, data):
+        lp_one = (lambda z: base_lp(z, data)) if data_aware else base_lp
+        d = var_params0[0].shape[0]  # from the ARG, not the closure: a
+        # cached trace must re-derive shapes when jit retraces on new args
 
-    opt = optax.adam(learning_rate)
-    grad_fn = jax.value_and_grad(neg_elbo)
+        def neg_elbo(var_params, eps):
+            mu, log_sigma = var_params
+            sigma = jnp.exp(log_sigma)
+            z = mu + sigma * eps  # (M, D) reparameterized draws
+            logp = jax.vmap(lp_one)(z)
+            # Sticking the landing: score q at stop_gradient'ed variational
+            # params so only the path derivative flows — zero-variance at
+            # optima.
+            mu_s = jax.lax.stop_gradient(mu)
+            ls_s = jax.lax.stop_gradient(log_sigma)
+            logq = jnp.sum(
+                -0.5 * ((z - mu_s) * jnp.exp(-ls_s)) ** 2
+                - ls_s
+                - 0.5 * _LOG_2PI,
+                axis=-1,
+            )
+            return -jnp.mean(logp - logq)
 
-    def body(carry, t):
-        var_params, opt_state = carry
-        eps = jax.random.normal(
-            jax.random.fold_in(key, t), (num_mc_samples, dim), jnp.float32
-        )
-        loss, grads = grad_fn(var_params, eps)
-        grads = jax.tree_util.tree_map(
-            lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads
-        )
-        updates, opt_state = opt.update(grads, opt_state, var_params)
-        var_params = optax.apply_updates(var_params, updates)
-        return (var_params, opt_state), -loss
+        opt = optax.adam(learning_rate)
+        grad_fn = jax.value_and_grad(neg_elbo)
 
-    var_params0 = (mu0, log_sigma0)
+        def body(carry, t):
+            var_params, opt_state = carry
+            eps = jax.random.normal(
+                jax.random.fold_in(key, t), (num_mc_samples, d), jnp.float32
+            )
+            loss, grads = grad_fn(var_params, eps)
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads
+            )
+            updates, opt_state = opt.update(grads, opt_state, var_params)
+            var_params = optax.apply_updates(var_params, updates)
+            return (var_params, opt_state), -loss
 
-    def fit(var_params0):
         (var_params, _), elbo_trace = jax.lax.scan(
             body,
             (var_params0, opt.init(var_params0)),
@@ -111,7 +121,20 @@ def fit_advi_flat(
         )
         return var_params, elbo_trace
 
-    (mu, log_sigma), elbo_trace = jax.jit(fit)(var_params0)
+    jfit = _reuse_jit(
+        "advi_mf",
+        (
+            id(base_lp),
+            int(num_steps),
+            int(num_mc_samples),
+            float(learning_rate),
+            float(init_log_sigma),
+            data_aware,
+        ),
+        fit,
+        pin=base_lp,
+    )
+    (mu, log_sigma), elbo_trace = jfit((mu0, log_sigma0), key, data)
     return mu, log_sigma, elbo_trace
 
 
@@ -138,9 +161,10 @@ def fit_advi_fullrank_flat(
     """
     import optax
 
-    if data is not None:
-        base_lp = flat_log_prob
-        flat_log_prob = lambda z: base_lp(z, data)  # noqa: E731
+    from mlx_mcmc_tpu.inference.api import _reuse_jit
+
+    data_aware = data is not None
+    base_lp = flat_log_prob
 
     z0 = jnp.asarray(z0, jnp.float32)
     dim = z0.shape[0]
@@ -157,42 +181,44 @@ def fit_advi_fullrank_flat(
     # packed lower triangle incl. diagonal slots (which build_L overwrites)
     raw_off0 = jnp.zeros((dim * (dim + 1)) // 2, jnp.float32)
 
-    def neg_elbo(var_params, eps):
-        mu, raw_diag, raw_off = var_params
-        L = build_L(raw_diag, raw_off)
-        z = mu + eps @ L.T  # (M, D)
-        logp = jax.vmap(flat_log_prob)(z)
-        # sticking-the-landing: log q at stop_grad'ed variational params
-        mu_s = jax.lax.stop_gradient(mu)
-        L_s = jax.lax.stop_gradient(L)
-        diff = z - mu_s
-        y = jax.scipy.linalg.solve_triangular(L_s, diff.T, lower=True).T
-        logq = (
-            -0.5 * jnp.sum(y**2, axis=-1)
-            - jnp.sum(jnp.log(jnp.diag(L_s)))
-            - 0.5 * dim * _LOG_2PI
-        )
-        return -jnp.mean(logp - logq)
+    # key/data are jit arguments (see fit_advi_flat); dim-shaped index
+    # arrays are closure constants, so dim is part of the cache key.
+    def fit(var_params0, key, data):
+        lp_one = (lambda z: base_lp(z, data)) if data_aware else base_lp
 
-    opt = optax.adam(learning_rate)
-    grad_fn = jax.value_and_grad(neg_elbo)
+        def neg_elbo(var_params, eps):
+            mu, raw_diag, raw_off = var_params
+            L = build_L(raw_diag, raw_off)
+            z = mu + eps @ L.T  # (M, D)
+            logp = jax.vmap(lp_one)(z)
+            # sticking-the-landing: log q at stop_grad'ed variational params
+            mu_s = jax.lax.stop_gradient(mu)
+            L_s = jax.lax.stop_gradient(L)
+            diff = z - mu_s
+            y = jax.scipy.linalg.solve_triangular(L_s, diff.T, lower=True).T
+            logq = (
+                -0.5 * jnp.sum(y**2, axis=-1)
+                - jnp.sum(jnp.log(jnp.diag(L_s)))
+                - 0.5 * dim * _LOG_2PI
+            )
+            return -jnp.mean(logp - logq)
 
-    def body(carry, t):
-        var_params, opt_state = carry
-        eps = jax.random.normal(
-            jax.random.fold_in(key, t), (num_mc_samples, dim), jnp.float32
-        )
-        loss, grads = grad_fn(var_params, eps)
-        grads = jax.tree_util.tree_map(
-            lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads
-        )
-        updates, opt_state = opt.update(grads, opt_state, var_params)
-        var_params = optax.apply_updates(var_params, updates)
-        return (var_params, opt_state), -loss
+        opt = optax.adam(learning_rate)
+        grad_fn = jax.value_and_grad(neg_elbo)
 
-    var_params0 = (z0, raw_diag0, raw_off0)
+        def body(carry, t):
+            var_params, opt_state = carry
+            eps = jax.random.normal(
+                jax.random.fold_in(key, t), (num_mc_samples, dim), jnp.float32
+            )
+            loss, grads = grad_fn(var_params, eps)
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads
+            )
+            updates, opt_state = opt.update(grads, opt_state, var_params)
+            var_params = optax.apply_updates(var_params, updates)
+            return (var_params, opt_state), -loss
 
-    def fit(var_params0):
         (var_params, _), elbo_trace = jax.lax.scan(
             body,
             (var_params0, opt.init(var_params0)),
@@ -201,7 +227,21 @@ def fit_advi_fullrank_flat(
         mu, raw_diag, raw_off = var_params
         return mu, build_L(raw_diag, raw_off), elbo_trace
 
-    mu, scale_tril, elbo_trace = jax.jit(fit)(var_params0)
+    jfit = _reuse_jit(
+        "advi_fr",
+        (
+            id(base_lp),
+            int(num_steps),
+            int(num_mc_samples),
+            float(learning_rate),
+            float(init_log_sigma),
+            data_aware,
+            dim,
+        ),
+        fit,
+        pin=base_lp,
+    )
+    mu, scale_tril, elbo_trace = jfit((z0, raw_diag0, raw_off0), key, data)
     return mu, scale_tril, elbo_trace
 
 
@@ -304,23 +344,74 @@ def fit_advi(
     key = (
         jax.random.PRNGKey(seed) if isinstance(seed, (int, np.integer)) else seed
     )
-    to_constrained = None
-    if transforms:
-        from mlx_mcmc_tpu.distributions.transforms import (
-            make_transformed_logprob,
-        )
-
-        log_prob_fn, to_constrained, to_unconstrained = make_transformed_logprob(
-            log_prob_fn, transforms, data_aware=data is not None
-        )
-        initial_params = to_unconstrained(
-            jax.tree_util.tree_map(
-                lambda x: jnp.asarray(x, jnp.result_type(float)), initial_params
-            )
-        )
-    flat_log_prob, z0, unravel = make_flat_logprob(
-        log_prob_fn, initial_params, data_aware=data is not None
+    # Memoize the flat/transformed closures per (model identity, transforms,
+    # param structure) so repeated fits hand the SAME flat_log_prob object to
+    # fit_advi_*_flat — whose _reuse_jit caches key on its id. Initial
+    # parameter VALUES flow through per call below.
+    from mlx_mcmc_tpu.inference.api import (
+        _RUNNER_CACHE,
+        _RUNNER_CACHE_MAX,
+        _hashable,
+        _param_spec,
     )
+    from mlx_mcmc_tpu.ops.ravel import ravel_params
+
+    t_key = (
+        None
+        if not transforms
+        else tuple(sorted(transforms.items(), key=lambda kv: kv[0]))
+    )
+    cacheable = t_key is None or all(_hashable(v) for _, v in t_key)
+    flp_key = hit = None
+    if cacheable:
+        flp_key = (
+            "advi_flp",
+            id(log_prob_fn),
+            t_key,
+            _param_spec(initial_params),
+            data is not None,
+        )
+        hit = _RUNNER_CACHE.get(flp_key)
+    if hit is not None:
+        flat_log_prob, unravel, to_constrained, to_unconstrained, _pin = hit
+        if to_unconstrained is not None:
+            initial_params = to_unconstrained(
+                jax.tree_util.tree_map(
+                    lambda x: jnp.asarray(x, jnp.result_type(float)),
+                    initial_params,
+                )
+            )
+        z0 = ravel_params(initial_params)[0]
+    else:
+        to_constrained = to_unconstrained = None
+        if transforms:
+            from mlx_mcmc_tpu.distributions.transforms import (
+                make_transformed_logprob,
+            )
+
+            log_prob_fn2, to_constrained, to_unconstrained = (
+                make_transformed_logprob(
+                    log_prob_fn, transforms, data_aware=data is not None
+                )
+            )
+            initial_params = to_unconstrained(
+                jax.tree_util.tree_map(
+                    lambda x: jnp.asarray(x, jnp.result_type(float)),
+                    initial_params,
+                )
+            )
+        else:
+            log_prob_fn2 = log_prob_fn
+        flat_log_prob, z0, unravel = make_flat_logprob(
+            log_prob_fn2, initial_params, data_aware=data is not None
+        )
+        if cacheable:
+            if len(_RUNNER_CACHE) >= _RUNNER_CACHE_MAX:
+                _RUNNER_CACHE.pop(next(iter(_RUNNER_CACHE)))
+            _RUNNER_CACHE[flp_key] = (
+                flat_log_prob, unravel, to_constrained, to_unconstrained,
+                log_prob_fn,
+            )
     fit_kwargs = dict(
         num_steps=num_steps,
         num_mc_samples=num_mc_samples,
