@@ -70,13 +70,43 @@ def _param_spec(tree):
 # jit arguments, so they never invalidate the cache; jit itself retraces on
 # shape changes. Keyed by object identity for functions (as jax.jit is);
 # entries pin their functions, so ids cannot be recycled while cached.
-_RUNNER_CACHE: Dict[Any, Any] = {}
+# Eviction is LRU (an OrderedDict moved-to-end on every hit), so per-call-
+# constructed callables (lambdas, partials) that can never hit again churn
+# out the oldest entries first, never the hot ones. NOTE: a cached entry
+# pins its model/vag callables and anything their closures capture — callers
+# that rebuild such objects per call pay one insertion each time and should
+# prefer passing big arrays via ``data=`` (see ``sample``'s caching note).
+from collections import OrderedDict
+
+_RUNNER_CACHE: "OrderedDict[Any, Any]" = OrderedDict()
 _RUNNER_CACHE_MAX = 64
 
 
 def clear_runner_cache() -> None:
-    """Drop all cached compiled runners (see ``sample``'s caching note)."""
+    """Drop all cached compiled runners — both this module's (sample,
+    posterior-predictive, ensemble/smc/tempered/vi) and the sharded cache in
+    :mod:`mlx_mcmc_tpu.parallel.sharded`. Call after mutating any object a
+    cached model closure captures."""
     _RUNNER_CACHE.clear()
+    try:
+        from mlx_mcmc_tpu.parallel import sharded as _sharded
+
+        _sharded._SHARDED_CACHE.clear()
+    except ImportError:  # pragma: no cover - parallel is always importable
+        pass
+
+
+def _cache_get(key):
+    hit = _RUNNER_CACHE.get(key)
+    if hit is not None:
+        _RUNNER_CACHE.move_to_end(key)  # LRU: hits stay hot
+    return hit
+
+
+def _cache_put(key, value) -> None:
+    if len(_RUNNER_CACHE) >= _RUNNER_CACHE_MAX:
+        _RUNNER_CACHE.popitem(last=False)  # evict least-recently-used
+    _RUNNER_CACHE[key] = value
 
 
 def _reuse_jit(tag: str, key_items: tuple, fn, pin=()):
@@ -90,12 +120,10 @@ def _reuse_jit(tag: str, key_items: tuple, fn, pin=()):
     must fall back to plain ``jax.jit`` when any key item is unhashable.
     """
     key = (tag,) + tuple(key_items)
-    hit = _RUNNER_CACHE.get(key)
+    hit = _cache_get(key)
     if hit is None:
         hit = (jax.jit(fn), pin)
-        if len(_RUNNER_CACHE) >= _RUNNER_CACHE_MAX:
-            _RUNNER_CACHE.pop(next(iter(_RUNNER_CACHE)))
-        _RUNNER_CACHE[key] = hit
+        _cache_put(key, hit)
     return hit[0]
 
 
@@ -115,6 +143,11 @@ class MCMCResult:
     num_samples: int
     kernel: str = "nuts"
     device_stats: Optional[Dict[str, jnp.ndarray]] = None  # on-device rhat/ess
+    # Everything a bit-exact post-warmup resume needs (final kernel state,
+    # raw adaptation pytrees, RNG/seed metadata) — populated by sample() when
+    # the seed is a plain int; io/checkpoint.py serializes it. None when the
+    # run is not exactly resumable (PRNG-key seed).
+    resume_payload: Optional[Dict[str, Any]] = field(default=None, repr=False)
     _numpy_cache: Optional[Dict[str, np.ndarray]] = field(default=None, repr=False)
 
     def to_numpy(self) -> Dict[str, np.ndarray]:
@@ -192,6 +225,8 @@ def sample(
     config=None,
     data=None,
     init_strategy: str = "tile",
+    store_dtype=None,
+    draw_chunk: Optional[int] = None,
     **kernel_kwargs,
 ) -> MCMCResult:
     """Run compiled multi-chain MCMC against a dict-of-params model.
@@ -223,14 +258,29 @@ def sample(
     settings in one typed object; its fields replace the corresponding
     keyword arguments.
 
+    ``store_dtype`` (e.g. ``'bfloat16'``) down-casts only the STORED draws —
+    all sampling arithmetic stays f32. Halves the (chains, draws, D) HBM
+    draw-store footprint, the usual ceiling at wide chain counts.
+
+    ``draw_chunk=k`` scans the sampling phase in chunks of ``k`` draws,
+    fetching each chunk to host memory before the next runs, so the full
+    (chains, draws, D) store never has to fit HBM — draw counts are bounded
+    by host RAM instead. Draws and diagnostics are bit-identical to the
+    unchunked run (the engine keys every step by its global index);
+    ``MCMCResult.samples`` holds numpy arrays. The compiled chunk runner
+    takes the draw offset as a runtime argument, so every full-size chunk
+    reuses one cached program.
+
     Repeated calls with the same static configuration (same ``log_prob_fn``
     object, parameter structure, kernel settings) reuse a cached compiled
     runner: only the first call pays tracing+compilation; later calls are
     device-bound. Seed, ``data`` and initial parameter *values* are runtime
-    arguments and never invalidate the cache. The cache keys functions by
-    object identity (like ``jax.jit``) — if you mutate state a model closure
-    captures, pass it via ``data`` instead, or call
-    :func:`clear_runner_cache`.
+    arguments and never invalidate the cache. The cache keys functions and
+    other id-hashed objects by object identity (like ``jax.jit``) — this
+    covers the model closure, any ``value_and_grad_fn`` or other callables
+    in ``kernel_kwargs``, and Transform instances in ``transforms``. If you
+    mutate state any of those capture, pass it via ``data`` instead, or call
+    :func:`clear_runner_cache` (which also clears the sharded cache).
     """
     if config is not None:
         kw = config.to_kwargs()
@@ -241,11 +291,22 @@ def sample(
             batched_initial=batched_initial,
             transforms=transforms,
             data=data,
+            store_dtype=store_dtype,
+            draw_chunk=draw_chunk,
             **kw,
         )
     if init_strategy not in ("tile", "map", "advi"):
         raise ValueError(f"Unknown init_strategy: {init_strategy!r}")
     step_size = resolve_step_size(step_size, kernel, adapt_step_size)
+
+    # Normalize storage/chunking knobs into hashable cache-key form.
+    store_key = None if store_dtype is None else str(jnp.dtype(store_dtype))
+    store_dt = None if store_key is None else jnp.dtype(store_key)
+    if draw_chunk is not None:
+        if draw_chunk <= 0:
+            raise ValueError(f"draw_chunk must be positive, got {draw_chunk}")
+        if draw_chunk >= num_samples:
+            draw_chunk = None  # one chunk == the unchunked program
 
     # --- compiled-runner cache lookup (see _RUNNER_CACHE above) ---
     # 'advi' mutates kernel_kwargs after the key is computed (it injects an
@@ -279,9 +340,11 @@ def sample(
             bool(adapt_step_size),
             bool(adapt_mass_matrix),
             target_accept,
+            store_key,
+            draw_chunk,
             tuple(sorted(kernel_kwargs.items(), key=lambda kv: kv[0])),
         )
-        entry = _RUNNER_CACHE.get(cache_key)
+        entry = _cache_get(cache_key)
 
     if entry is not None:
         lp_fn = entry["lp_fn"]
@@ -362,18 +425,35 @@ def sample(
             kernel_kwargs["init_inv_mass_diag"] = advi_inv_mass
 
     if entry is None:
-        run = build_sampler(
-            flat_log_prob,
-            dim,
+        common = dict(
             kernel=kernel,
             num_warmup=num_warmup,
-            num_samples=num_samples,
             step_size=step_size,
             adapt_step_size=adapt_step_size,
             adapt_mass_matrix=adapt_mass_matrix,
             target_accept=target_accept,
+            store_dtype=store_dt,
             **kernel_kwargs,
         )
+        first_draws = draw_chunk if draw_chunk is not None else num_samples
+        run = build_sampler(
+            flat_log_prob, dim, num_samples=first_draws, **common
+        )
+        entry_runs = {"jitted_run": jax.jit(run), "sched": run.sched}
+        if draw_chunk is not None:
+            # Sampling-only continuation runners: zero-length warmup segment,
+            # tunables from the first segment's adaptation state, draw offset
+            # as a runtime argument (one compiled program per chunk SIZE).
+            seg = dict(common, warmup_start=num_warmup, warmup_stop=num_warmup)
+            runc = build_sampler(flat_log_prob, dim, num_samples=draw_chunk,
+                                 **seg)
+            entry_runs["jitted_chunk"] = jax.jit(runc)
+            entry_runs["sched_seg"] = runc.sched
+            rem = num_samples % draw_chunk
+            if rem:
+                runr = build_sampler(flat_log_prob, dim, num_samples=rem,
+                                     **seg)
+                entry_runs["jitted_rem"] = jax.jit(runr)
         vv_unravel = jax.vmap(jax.vmap(unravel))
         if to_constrained is None:
             post = jax.jit(vv_unravel)
@@ -385,30 +465,103 @@ def sample(
             "to_unconstrained": to_unconstrained,
             "flat_log_prob": flat_log_prob,
             "unravel": unravel,
-            "jitted_run": jax.jit(run),
-            "sched": run.sched,
             "post": post,
             # pin the user fn so its id() can't be recycled while cached
             "pin": log_prob_fn,
+            **entry_runs,
         }
         if cacheable:
-            if len(_RUNNER_CACHE) >= _RUNNER_CACHE_MAX:
-                _RUNNER_CACHE.pop(next(iter(_RUNNER_CACHE)))
-            _RUNNER_CACHE[cache_key] = entry
+            _cache_put(cache_key, entry)
 
     chain_keys = make_chain_keys(key_run, num_chains)
     result: ChainResult = entry["jitted_run"](
         chain_keys, z0_batch, data, None, entry["sched"]
     )
 
-    samples = entry["post"](result.positions)
+    if draw_chunk is None:
+        samples = entry["post"](result.positions)
+        info = result.info
+    else:
+        # Chunked draw storage: fetch each chunk to host, freeing its device
+        # buffers before the next chunk runs — the full (chains, draws, D)
+        # store only ever exists in host RAM. Draws are bit-identical to the
+        # unchunked program: the continuation runner derives every step key
+        # from the same global step index (engine `sample_start`).
+        def fetch(res):
+            s = jax.tree_util.tree_map(np.asarray, entry["post"](res.positions))
+            i = jax.tree_util.tree_map(np.asarray, res.info)
+            return s, i
+
+        sample_chunks, info_chunks = [], []
+        s0, i0 = fetch(result)
+        sample_chunks.append(s0)
+        info_chunks.append(i0)
+        offset = draw_chunk
+        while offset < num_samples:
+            size = min(draw_chunk, num_samples - offset)
+            runner = (
+                entry["jitted_chunk"] if size == draw_chunk
+                else entry["jitted_rem"]
+            )
+            result = runner(
+                chain_keys,
+                result.final_state.position,
+                data,
+                (result.final_adapt, result.final_traj),
+                entry["sched_seg"],
+                offset,
+            )
+            s, i = fetch(result)
+            sample_chunks.append(s)
+            info_chunks.append(i)
+            offset += size
+        samples = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs, axis=1), *sample_chunks
+        )
+        info = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs, axis=1), *info_chunks
+        )
+
+    resume_payload = None
+    if isinstance(seed, (int, np.integer)):
+        from mlx_mcmc_tpu.io.checkpoint import _data_fingerprint as _fingerprint
+
+        # Everything a bit-exact continuation needs (io/checkpoint.py):
+        # final kernel positions, raw adaptation pytrees, and the static
+        # config that must match on resume. Device arrays; serialization
+        # happens at save time.
+        resume_payload = {
+            "phase": "sampling",
+            "flat_position": result.final_state.position,
+            "adapt": result.final_adapt,
+            "traj": result.final_traj,
+            "inv_mass_diag": result.final_tunables.inv_mass_diag,
+            "unravel": entry["unravel"],
+            "num_warmup": int(num_warmup),
+            "num_chains": int(num_chains),
+            "next_sample_start": int(num_samples),
+            "thin": int(kernel_kwargs.get("thin", 1)),
+            "kernel": kernel,
+            "seed": int(seed),
+            "dim": int(dim),
+            "step_size": step_size,
+            "adapt_step_size": bool(adapt_step_size),
+            "adapt_mass_matrix": bool(adapt_mass_matrix),
+            "target_accept": target_accept,
+            "store_dtype": store_key,
+            "kernel_kwargs": dict(kernel_kwargs),
+            "has_transforms": transforms is not None,
+            "data_fingerprint": _fingerprint(data),
+        }
+
     return MCMCResult(
         samples=samples,
-        info=result.info,
+        info=info,
         tunables=result.final_tunables,
         num_chains=num_chains,
         num_samples=num_samples,
         kernel=kernel,
+        resume_payload=resume_payload,
     )
 
 
@@ -446,7 +599,7 @@ def sample_posterior_predictive(
     # identity; data flows as a jit ARGUMENT (a closure constant would be
     # serialized into the program — breaks remote compile for big datasets).
     cache_key = (id(predictive_fn), data is not None)
-    hit = _RUNNER_CACHE.get(cache_key)
+    hit = _cache_get(cache_key)
     if hit is None:
         if data is not None:
             pp = jax.jit(
@@ -457,10 +610,8 @@ def sample_posterior_predictive(
             )
         else:
             pp = jax.jit(jax.vmap(jax.vmap(predictive_fn)))
-        if len(_RUNNER_CACHE) >= _RUNNER_CACHE_MAX:
-            _RUNNER_CACHE.pop(next(iter(_RUNNER_CACHE)))
         # the second element pins predictive_fn's id while cached
-        _RUNNER_CACHE[cache_key] = (pp, predictive_fn)
+        _cache_put(cache_key, (pp, predictive_fn))
     else:
         pp = hit[0]
     if data is not None:

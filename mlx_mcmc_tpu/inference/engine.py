@@ -167,6 +167,7 @@ def build_sampler(
     progress_callback=None,
     warmup_start: int = 0,
     warmup_stop: Optional[int] = None,
+    store_dtype=None,
     **kernel_kwargs,
 ) -> Callable[[jnp.ndarray, jnp.ndarray], ChainResult]:
     """Build a jittable ``run(key, z0_batch) -> ChainResult``.
@@ -184,6 +185,23 @@ def build_sampler(
     ``resume_state=(adapt, traj)`` (a prior segment's ``final_adapt``/
     ``final_traj``) and the step-size probe is skipped. Set ``num_samples=0``
     to stop after a partial warmup segment.
+
+    The sampling phase segments the same way: ``run``'s ``sample_start``
+    runtime argument (a draw offset) shifts the sampling scan's global step
+    indices to ``num_warmup + (sample_start + j) * thin``, so a segment
+    ``[o, o + num_samples)`` driven from a prior segment's ``final_state``
+    positions and ``final_adapt`` reproduces draws bit-identical to the
+    corresponding slice of one uninterrupted run (chunked draw storage,
+    ``sample(draw_chunk=...)``; bit-exact post-warmup resume,
+    io/checkpoint.py). Being a runtime argument, one compiled runner serves
+    every chunk offset.
+
+    ``store_dtype`` (e.g. ``jnp.bfloat16``) down-casts ONLY the stored draw
+    positions — kernel state, adaptation, and all step arithmetic stay f32.
+    A bf16 store halves the (chains, draws, D) HBM footprint, the usual
+    ceiling at wide chain counts; on TPU the MXU computes f32 matmuls at
+    bf16 operand precision anyway, so summary statistics on bf16-stored
+    draws add rounding far below Monte-Carlo error.
     """
     if target_accept is None:
         target_accept = default_target_accept(kernel)
@@ -267,7 +285,7 @@ def build_sampler(
 
     def run(
         chain_keys: jnp.ndarray, z0_batch: jnp.ndarray, data=None,
-        resume_state=None, sched=None,
+        resume_state=None, sched=None, sample_start=0,
     ) -> ChainResult:
         """``chain_keys``: (chains_local,) PRNG keys, one per chain. Per-step
         keys are ``fold_in(chain_key, t)`` with a global step counter, so the
@@ -426,12 +444,17 @@ def build_sampler(
                 )
             return states, infos
 
+        if store_dtype is None:
+            _store = lambda z: z  # noqa: E731
+        else:
+            _store = lambda z: z.astype(store_dtype)  # noqa: E731
+
         if thin == 1:
 
             def sample_body(states, t):
                 states, infos = _one_step(states, t)
                 _maybe_report("sample", t, infos, tunables.step_size)
-                return states, (states.position, infos)
+                return states, (_store(states.position), infos)
 
         else:
             # Keep every `thin`-th draw: an inner scan advances the chain,
@@ -452,13 +475,18 @@ def build_sampler(
                     ),
                 )
                 _maybe_report("sample", t0, info_last, tunables.step_size)
-                return states, (states.position, info_last)
+                return states, (_store(states.position), info_last)
 
-        sample_steps = jnp.arange(
-            num_warmup,
-            num_warmup + num_samples * thin,
-            thin,
-            dtype=jnp.int32,
+        # Global step of stored draw j: num_warmup + (sample_start + j)*thin.
+        # `sample_start` is a traced runtime value, so XLA lowers the step
+        # array as iota+add — one compiled program serves every chunk offset.
+        sample_steps = (
+            jnp.asarray(num_warmup, jnp.int32)
+            + (
+                jnp.asarray(sample_start, jnp.int32)
+                + jnp.arange(num_samples, dtype=jnp.int32)
+            )
+            * thin
         )
         states, (positions, infos) = jax.lax.scan(sample_body, states, sample_steps)
 

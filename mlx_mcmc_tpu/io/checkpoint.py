@@ -1,24 +1,29 @@
 """Sampler checkpoint/resume — sampling phase AND mid-warmup.
 
-A sampling-phase checkpoint captures everything needed to continue drawing
-from where a run stopped: per-chain positions, the adapted tunables (step
-size, inverse mass diagonal), kernel name, and a draw counter for RNG
-continuation. Storage is Orbax when available, with a plain ``.npz`` fallback
-(both formats carry the same pytree).
+A sampling-phase checkpoint of an int-seeded run captures everything needed
+to continue drawing **bit-identically**: the final kernel positions, the raw
+adaptation pytrees (whose dual-averaging average IS the frozen step size),
+the run seed, and the global draw offset. Because the engine keys every
+step's RNG by the *global* step index (``fold_in(chain_key, t)`` with
+``t = num_warmup + (draw_offset + j) * thin``, inference/engine.py), a
+:func:`resume` continues the sampling scan at the stored offset with the
+same chain keys — the resumed draws equal the corresponding draws of one
+uninterrupted longer run, bit for bit (tests/test_checkpoint.py).
 
-Sampling-phase resume semantics: adaptation is already frozen post-warmup, so
-:func:`resume` continues the *sampling phase* with the checkpointed
-tunables — equivalent to having asked for more draws up front (modulo the RNG
-stream, which is re-keyed by the resume seed).
+Legacy position-only checkpoints (older files, or runs whose seed was a raw
+PRNG key) resume with the checkpointed tunables but a re-keyed RNG stream —
+statistically equivalent, not bit-identical.
 
 Mid-warmup checkpoints (SURVEY.md §5.4 "resume mid-warmup or mid-sampling")
-additionally persist the raw adaptation state — dual-averaging statistics,
-Welford moments, inverse mass diagonal, the ChEES trajectory state — plus the
-warmup step index and seed. Because the engine keys every step's RNG by the
-*global* step index (``fold_in(chain_key, t)``) and the warmup schedule is a
-static function of ``num_warmup``, :func:`run_warmup` + :func:`resume_warmup`
-produce draws **bit-identical** to an uninterrupted :func:`~mlx_mcmc_tpu.sample`
-call with the same seed (tests/test_checkpoint.py).
+persist the same adaptation pytrees plus the warmup step index; the warmup
+schedule is a static function of ``num_warmup``, so
+:func:`run_warmup` + :func:`resume_warmup` produce draws bit-identical to an
+uninterrupted :func:`~mlx_mcmc_tpu.sample` call with the same seed.
+
+Storage: Orbax (async-capable, multi-host-aware directory tree) when
+installed and the path has no ``.npz`` suffix, with a plain single-file
+``.npz`` fallback — both formats carry the same arrays + JSON metadata, for
+every checkpoint kind (sampling, mid-warmup, sharded mid-warmup).
 """
 
 from __future__ import annotations
@@ -47,21 +52,37 @@ def _result_state(result) -> Dict[str, Any]:
     }
 
 
+def _resolve_backend(path: str, backend: str) -> str:
+    if backend == "auto":
+        return "npz" if path.endswith(".npz") else _orbax_or_npz()
+    return backend
+
+
 def save_checkpoint(path: str, result, backend: str = "auto") -> None:
-    """Persist an :class:`MCMCResult` as a resumable checkpoint.
+    """Persist an :class:`MCMCResult` (or a :func:`run_warmup` dict) as a
+    resumable checkpoint.
+
+    An ``MCMCResult`` from an int-seeded :func:`~mlx_mcmc_tpu.sample` run
+    carries a ``resume_payload`` and is saved as a **bit-exact** sampling
+    checkpoint: :func:`resume` continues draw-for-draw identical to an
+    uninterrupted longer run. Results without a payload (PRNG-key seeds) fall
+    back to the legacy position-only format (statistical resume).
 
     ``backend``: 'npz' (single portable file), 'orbax' (directory tree,
     async-capable, multi-host-aware), or 'auto' — orbax when installed and
     ``path`` has no .npz suffix, else npz.
     """
     if isinstance(result, dict) and result.get("phase") == "warmup":
-        # Mid-warmup checkpoint (run_warmup/resume_warmup dict). Always npz:
-        # it is a single small file of adaptation arrays + positions.
-        _save_warmup_npz(path if path.endswith(".npz") else path + ".npz", result)
+        meta, arrays = _warmup_payload(result)
+        _write_ckpt(path, meta, arrays, _resolve_backend(path, backend))
+        return
+    payload = getattr(result, "resume_payload", None)
+    if payload is not None:
+        meta, arrays = _sampling_payload(payload)
+        _write_ckpt(path, meta, arrays, _resolve_backend(path, backend))
         return
     state = _result_state(result)
-    if backend == "auto":
-        backend = "npz" if path.endswith(".npz") else _orbax_or_npz()
+    backend = _resolve_backend(path, backend)
     if backend == "orbax":
         _orbax_save(path, state)
         return
@@ -78,7 +99,8 @@ def save_checkpoint(path: str, result, backend: str = "auto") -> None:
     np.savez(path, **arrays, **{_META_KEY: json.dumps(meta)})
 
 
-def _save_warmup_npz(path: str, ckpt: Dict[str, Any]) -> None:
+def _warmup_payload(ckpt: Dict[str, Any]):
+    """(meta, arrays) for a mid-warmup checkpoint dict."""
     meta = {
         k: ckpt[k]
         for k in (
@@ -99,6 +121,64 @@ def _save_warmup_npz(path: str, ckpt: Dict[str, Any]) -> None:
     arrays.update(
         {f"traj_{i}": np.asarray(x) for i, x in enumerate(ckpt["traj_leaves"])}
     )
+    return meta, arrays
+
+
+def _sampling_payload(payload: Dict[str, Any]):
+    """(meta, arrays) for a bit-exact sampling checkpoint from an
+    ``MCMCResult.resume_payload`` (inference/api.py)."""
+    import jax
+
+    positions = jax.vmap(payload["unravel"])(payload["flat_position"])
+    meta = {
+        "phase": "sampling",
+        "num_warmup": payload["num_warmup"],
+        "num_chains": payload["num_chains"],
+        "next_sample_start": payload["next_sample_start"],
+        "thin": payload["thin"],
+        "kernel": payload["kernel"],
+        "seed": payload["seed"],
+        "dim": payload["dim"],
+        "step_size": payload["step_size"],
+        "adapt_step_size": payload["adapt_step_size"],
+        "adapt_mass_matrix": payload["adapt_mass_matrix"],
+        "target_accept": payload["target_accept"],
+        "store_dtype": payload["store_dtype"],
+        "sampler_kwargs": _storable_kwargs(payload["kernel_kwargs"]),
+        "has_transforms": payload["has_transforms"],
+        "data_fingerprint": payload["data_fingerprint"],
+        "param_names": list(positions.keys()),
+    }
+    adapt_leaves = jax.tree_util.tree_leaves(payload["adapt"])
+    traj_leaves = jax.tree_util.tree_leaves(payload["traj"])
+    meta["n_adapt"] = len(adapt_leaves)
+    meta["n_traj"] = len(traj_leaves)
+    arrays = {f"pos_{k}": np.asarray(v) for k, v in positions.items()}
+    arrays.update({f"adapt_{i}": np.asarray(x) for i, x in enumerate(adapt_leaves)})
+    arrays.update({f"traj_{i}": np.asarray(x) for i, x in enumerate(traj_leaves)})
+    # Redundant convenience copy (the mass matrix also lives inside the
+    # adapt pytree): lets tooling inspect the adapted metric without
+    # reconstructing AdaptationState.
+    arrays["inv_mass_diag"] = np.asarray(payload["inv_mass_diag"])
+    return meta, arrays
+
+
+def _write_ckpt(path: str, meta: dict, arrays: dict, backend: str) -> None:
+    """Write a (meta, arrays) checkpoint as npz (single file) or an Orbax
+    directory (meta JSON travels as a uint8 code array — Orbax stores array
+    pytrees, not strings)."""
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        tree = dict(arrays)
+        tree["meta_json"] = np.frombuffer(
+            json.dumps(meta).encode("utf-8"), dtype=np.uint8
+        ).copy()
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(os.path.abspath(path), tree, force=True)
+        return
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     np.savez(path, **arrays, **{_META_KEY: json.dumps(meta)})
 
@@ -119,6 +199,18 @@ def _load_warmup_npz(data, meta) -> Dict[str, Any]:
         "adapt_leaves": [data[f"adapt_{i}"] for i in range(meta["n_adapt"])],
         "traj_leaves": [data[f"traj_{i}"] for i in range(meta["n_traj"])],
     }
+
+
+def _load_sampling(data, meta) -> Dict[str, Any]:
+    """Rehydrate a bit-exact sampling checkpoint (npz entries or an orbax
+    array tree — both index arrays by the same keys)."""
+    out = dict(meta)
+    out["positions"] = {k: data[f"pos_{k}"] for k in meta["param_names"]}
+    out["adapt_leaves"] = [data[f"adapt_{i}"] for i in range(meta["n_adapt"])]
+    out["traj_leaves"] = [data[f"traj_{i}"] for i in range(meta["n_traj"])]
+    if "inv_mass_diag" in data:
+        out["inv_mass_diag"] = data["inv_mass_diag"]
+    return out
 
 
 def _orbax_or_npz() -> str:
@@ -158,6 +250,13 @@ def _orbax_load(path: str) -> Dict[str, Any]:
 
     with ocp.StandardCheckpointer() as ckptr:
         tree = ckptr.restore(os.path.abspath(path))
+    if "meta_json" in tree:
+        # New-format dict checkpoint (warmup or exact-sampling): the JSON
+        # metadata travels as a uint8 code array alongside the array leaves.
+        meta = json.loads(bytes(np.asarray(tree["meta_json"])).decode("utf-8"))
+        if meta.get("phase") == "warmup":
+            return _load_warmup_npz(tree, meta)
+        return _load_sampling(tree, meta)
     if "kernel_name" in tree:
         kernel = bytes(np.asarray(tree["kernel_name"])).decode("ascii")
     else:  # legacy checkpoints (kernel_id index)
@@ -182,6 +281,8 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         meta = json.loads(str(data[_META_KEY]))
         if meta.get("phase") == "warmup":
             return _load_warmup_npz(data, meta)
+        if meta.get("phase") == "sampling":
+            return _load_sampling(data, meta)
         positions = {k: data[f"pos_{k}"] for k in meta["param_names"]}
         return {
             "positions": positions,
@@ -199,22 +300,56 @@ def resume(
     *,
     num_samples: int = 1000,
     seed: Optional[int] = None,
+    data=None,
+    transforms=None,
     **kwargs,
 ):
-    """Continue sampling from a checkpoint (dict or path).
+    """Continue sampling from a checkpoint (dict, path, or an
+    :class:`~mlx_mcmc_tpu.inference.api.MCMCResult` still in memory).
 
-    Warmup is skipped; the checkpointed step size and mass matrix are used
-    as-is. Extra kwargs forward to :func:`mlx_mcmc_tpu.sample`.
+    Bit-exact checkpoints (int-seeded runs saved by :func:`save_checkpoint`,
+    or a live ``MCMCResult``) continue the sampling scan at the stored global
+    draw offset with the original chain keys: the returned draws equal —
+    bit for bit — draws ``[offset, offset + num_samples)`` of one
+    uninterrupted longer run. ``seed`` is ignored for these (the stream is
+    the checkpoint's); ``data``/``transforms`` must match the original call.
+
+    Legacy position-only checkpoints resume with the checkpointed tunables
+    but a fresh RNG stream (statistically equivalent continuation); extra
+    kwargs forward to :func:`mlx_mcmc_tpu.sample`.
     """
     from mlx_mcmc_tpu.inference.api import sample
 
+    payload = getattr(checkpoint, "resume_payload", None)
+    if payload is not None:
+        # A live MCMCResult: serialize->rehydrate through the same payload
+        # helpers the file path uses, skipping the disk roundtrip.
+        meta, arrays = _sampling_payload(payload)
+        checkpoint = _load_sampling(arrays, meta)
     if isinstance(checkpoint, str):
         checkpoint = load_checkpoint(checkpoint)
+    if checkpoint.get("phase") == "sampling":
+        return _resume_exact(
+            log_prob_fn,
+            checkpoint,
+            num_samples=num_samples,
+            data=data,
+            transforms=transforms,
+            **kwargs,
+        )
+    if checkpoint.get("phase") == "warmup":
+        raise ValueError(
+            "resume() got a mid-warmup checkpoint; use resume_warmup()"
+        )
     if seed is None:
         # Continue the stream deterministically past the completed draws.
         seed = int(checkpoint["draws_completed"]) + 1
 
     start = {k: jnp.asarray(v) for k, v in checkpoint["positions"].items()}
+    if data is not None:
+        kwargs["data"] = data
+    if transforms is not None:
+        kwargs["transforms"] = transforms
     return sample(
         log_prob_fn,
         start,
@@ -229,6 +364,141 @@ def resume(
         init_inv_mass_diag=jnp.asarray(checkpoint["inv_mass_diag"]),
         batched_initial=True,
         **kwargs,
+    )
+
+
+def _resume_exact(
+    log_prob_fn,
+    ckpt: Dict[str, Any],
+    *,
+    num_samples: int,
+    data,
+    transforms,
+    **kwargs,
+):
+    """Bit-exact sampling continuation: rebuild the engine with a zero-length
+    warmup segment and scan draws ``[offset, offset + num_samples)`` of the
+    original global step stream (engine ``sample_start``)."""
+    import jax
+
+    from mlx_mcmc_tpu.inference.api import MCMCResult, _as_key
+    from mlx_mcmc_tpu.inference.engine import build_sampler, make_chain_keys
+    from mlx_mcmc_tpu.ops.ravel import make_flat_logprob, ravel_params
+
+    if bool(ckpt.get("has_transforms")) != (transforms is not None):
+        raise ValueError(
+            "resume: the checkpointed run "
+            + ("used" if ckpt.get("has_transforms") else "did not use")
+            + " `transforms`; pass the same transforms dict to resume "
+            "bit-exactly"
+        )
+    stored = dict(ckpt.get("sampler_kwargs") or {})
+    for k, v in stored.items():
+        if k in kwargs and kwargs[k] != v:
+            raise ValueError(
+                f"resume: kwarg {k}={kwargs[k]!r} contradicts the "
+                f"checkpointed run's {k}={v!r}; resuming with different "
+                "sampler settings is not bit-exact"
+            )
+        kwargs.setdefault(k, v)
+    thin = int(ckpt.get("thin", 1))
+    if kwargs.get("thin", thin) != thin:
+        raise ValueError(
+            f"resume: thin={kwargs['thin']} contradicts the checkpointed "
+            f"run's thin={thin}"
+        )
+    kwargs["thin"] = thin
+    stored_fp = ckpt.get("data_fingerprint")
+    fp = _data_fingerprint(data)
+    norm_stored = (
+        None if stored_fp is None else [list(e) for e in stored_fp]
+    )
+    if fp != norm_stored:
+        raise ValueError(
+            "resume: the provided `data` pytree does not match the "
+            "checkpointed run's data (structure/shape/dtype fingerprint "
+            f"differs):\n  checkpoint: {norm_stored}\n  provided:   {fp}"
+        )
+
+    if transforms:
+        from mlx_mcmc_tpu.distributions.transforms import (
+            make_transformed_logprob,
+        )
+
+        lp_fn, to_constrained, _ = make_transformed_logprob(
+            log_prob_fn, transforms, data_aware=data is not None
+        )
+    else:
+        lp_fn, to_constrained = log_prob_fn, None
+
+    positions = {k: jnp.asarray(v) for k, v in ckpt["positions"].items()}
+    example = jax.tree_util.tree_map(lambda x: x[0], positions)
+    z0_batch = jax.vmap(lambda tree: ravel_params(tree)[0])(positions)
+    flat_log_prob, _, unravel = make_flat_logprob(
+        lp_fn, example, data_aware=data is not None
+    )
+    num_warmup = int(ckpt["num_warmup"])
+    dim = int(ckpt["dim"])
+    store_key = ckpt.get("store_dtype")
+    kernel = ckpt["kernel"]
+    run = build_sampler(
+        flat_log_prob,
+        dim,
+        kernel=kernel,
+        num_warmup=num_warmup,
+        num_samples=num_samples,
+        step_size=ckpt["step_size"],
+        adapt_step_size=bool(ckpt["adapt_step_size"]),
+        adapt_mass_matrix=bool(ckpt["adapt_mass_matrix"]),
+        target_accept=ckpt["target_accept"],
+        warmup_start=num_warmup,
+        warmup_stop=num_warmup,
+        store_dtype=None if store_key is None else jnp.dtype(store_key),
+        **kwargs,
+    )
+    key = _as_key(int(ckpt["seed"]))
+    _, key_run = jax.random.split(key)
+    chain_keys = make_chain_keys(key_run, int(ckpt["num_chains"]))
+    resume_state = _resume_state_from_ckpt(ckpt)
+    offset = int(ckpt["next_sample_start"])
+    result = jax.jit(run)(
+        chain_keys, z0_batch, data, resume_state, run.sched, offset
+    )
+    vv_unravel = jax.vmap(jax.vmap(unravel))
+    samples = vv_unravel(result.positions)
+    if to_constrained is not None:
+        samples = to_constrained(samples)
+    new_payload = {
+        "phase": "sampling",
+        "flat_position": result.final_state.position,
+        "adapt": result.final_adapt,
+        "traj": result.final_traj,
+        "inv_mass_diag": result.final_tunables.inv_mass_diag,
+        "unravel": unravel,
+        "num_warmup": num_warmup,
+        "num_chains": int(ckpt["num_chains"]),
+        "next_sample_start": offset + num_samples,
+        "thin": thin,
+        "kernel": kernel,
+        "seed": int(ckpt["seed"]),
+        "dim": dim,
+        "step_size": ckpt["step_size"],
+        "adapt_step_size": bool(ckpt["adapt_step_size"]),
+        "adapt_mass_matrix": bool(ckpt["adapt_mass_matrix"]),
+        "target_accept": ckpt["target_accept"],
+        "store_dtype": store_key,
+        "kernel_kwargs": dict(kwargs),
+        "has_transforms": transforms is not None,
+        "data_fingerprint": fp,
+    }
+    return MCMCResult(
+        samples=samples,
+        info=result.info,
+        tunables=result.final_tunables,
+        num_chains=int(ckpt["num_chains"]),
+        num_samples=num_samples,
+        kernel=kernel,
+        resume_payload=new_payload,
     )
 
 

@@ -9,12 +9,16 @@ initialize through ``jax.distributed``.
 """
 
 from mlx_mcmc_tpu.parallel.mesh import chain_mesh, data_chain_mesh
-from mlx_mcmc_tpu.parallel.sharded import sample_sharded
+from mlx_mcmc_tpu.parallel.sharded import (
+    clear_sharded_runner_cache,
+    sample_sharded,
+)
 from mlx_mcmc_tpu.parallel.distributed import initialize_distributed
 
 __all__ = [
     "chain_mesh",
     "data_chain_mesh",
     "sample_sharded",
+    "clear_sharded_runner_cache",
     "initialize_distributed",
 ]

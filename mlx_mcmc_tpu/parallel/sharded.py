@@ -50,12 +50,15 @@ from jax import shard_map  # public API since jax 0.8
 # ``inference.api._RUNNER_CACHE``: re-tracing the sharded program is pure
 # host work (seconds at production shapes); seed/data/initial values are jit
 # runtime arguments. Keyed additionally on the Mesh and partition specs.
-_SHARDED_CACHE: dict = {}
+from collections import OrderedDict
+
+_SHARDED_CACHE: "OrderedDict" = OrderedDict()
 _SHARDED_CACHE_MAX = 32
 
 
 def clear_sharded_runner_cache() -> None:
-    """Drop all cached compiled sharded runners."""
+    """Drop all cached compiled sharded runners. (The package-level
+    :func:`mlx_mcmc_tpu.clear_runner_cache` clears this cache too.)"""
     _SHARDED_CACHE.clear()
 
 
@@ -119,6 +122,10 @@ def _sharded_engine_run(
             )
 
     # --- compiled-runner cache lookup (see _SHARDED_CACHE above) ---
+    # The whole key construction + lookup is guarded: an unhashable leaf
+    # anywhere in the key (an exotic mesh, a numpy array smuggled into
+    # data_specs, an unhashable warmup_stop) falls back to the uncached
+    # build path instead of raising — mirroring api.sample()'s behavior.
     cacheable = (
         _hashable(target_accept)
         and _hashable(step_size)
@@ -153,7 +160,12 @@ def _sharded_engine_run(
             warmup_stop,
             tuple(sorted(kernel_kwargs.items(), key=lambda kv: kv[0])),
         )
-        entry = _SHARDED_CACHE.get(cache_key)
+        try:
+            entry = _SHARDED_CACHE.get(cache_key)
+            if entry is not None:
+                _SHARDED_CACHE.move_to_end(cache_key)  # LRU
+        except TypeError:  # unhashable leaf in the key
+            cacheable, cache_key = False, None
 
     if entry is None:
         entry = _build_sharded_runner(
@@ -179,7 +191,7 @@ def _sharded_engine_run(
         )
         if cacheable:
             if len(_SHARDED_CACHE) >= _SHARDED_CACHE_MAX:
-                _SHARDED_CACHE.pop(next(iter(_SHARDED_CACHE)))
+                _SHARDED_CACHE.popitem(last=False)  # LRU eviction
             _SHARDED_CACHE[cache_key] = entry
 
     key = _as_key(seed)
@@ -462,6 +474,15 @@ def sample_sharded(
     ``io.run_warmup(..., mesh=...)`` / ``io.resume_warmup(..., mesh=...)``,
     which drive the same engine segments over the same mesh (bit-identical
     composition, tests/test_checkpoint.py).
+
+    Caching: repeated calls with the same static configuration reuse a
+    compiled sharded runner, keyed — like ``jax.jit`` — by OBJECT IDENTITY
+    for ``log_prob_fn``/``log_prior_fn`` and any callables in
+    ``kernel_kwargs`` (a fused ``value_and_grad_fn``). Mutating state those
+    closures capture silently reuses the stale trace; pass mutable arrays
+    via ``data=`` instead, or call
+    :func:`~mlx_mcmc_tpu.clear_runner_cache` (clears this cache too) /
+    :func:`clear_sharded_runner_cache` after mutation.
     """
     (positions, info, tunables, _final_state, _adapt, _traj, stats,
      unravel, _dim) = _sharded_engine_run(

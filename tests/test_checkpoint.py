@@ -53,6 +53,141 @@ class TestCheckpoint:
         assert res2.samples["x"].shape == (2, 100, 2)
 
 
+class TestExactSamplingResume:
+    """VERDICT r3 #4 / SURVEY.md §5.4 "resume ... mid-sampling": a sampling-
+    phase checkpoint of an int-seeded run must continue bit-identically —
+    ``sample(N)`` == ``sample(N/2)`` -> save -> ``resume(N/2)``, draw for
+    draw, the post-warmup twin of TestMidWarmupResume."""
+
+    @pytest.mark.parametrize("kernel", ["nuts", "hmc", "chees", "metropolis"])
+    def test_split_equals_uninterrupted(self, kernel, tmp_path):
+        kw = dict(num_chains=4, kernel=kernel, seed=13, num_warmup=60)
+        if kernel == "nuts":
+            kw["max_tree_depth"] = 5
+        full = sample(_model, {"x": jnp.zeros(3)}, num_samples=40, **kw)
+        half = sample(_model, {"x": jnp.zeros(3)}, num_samples=20, **kw)
+        path = str(tmp_path / f"sampling_{kernel}.npz")
+        save_checkpoint(path, half)
+        rest = resume(_model, path, num_samples=20)
+        glued = np.concatenate(
+            [np.asarray(half.samples["x"]), np.asarray(rest.samples["x"])],
+            axis=1,
+        )
+        np.testing.assert_array_equal(np.asarray(full.samples["x"]), glued)
+        # diagnostics continue identically too
+        np.testing.assert_array_equal(
+            np.asarray(full.info.accept_prob)[:, 20:],
+            np.asarray(rest.info.accept_prob),
+        )
+
+    def test_chained_resumes(self):
+        kw = dict(num_chains=2, kernel="hmc", seed=3, num_warmup=50)
+        full = sample(_model, {"x": jnp.zeros(2)}, num_samples=30, **kw)
+        a = sample(_model, {"x": jnp.zeros(2)}, num_samples=10, **kw)
+        b = resume(_model, a, num_samples=10)  # live result, no disk
+        c = resume(_model, b, num_samples=10)
+        glued = np.concatenate(
+            [np.asarray(r.samples["x"]) for r in (a, b, c)], axis=1
+        )
+        np.testing.assert_array_equal(np.asarray(full.samples["x"]), glued)
+
+    def test_resume_with_thin(self, tmp_path):
+        kw = dict(num_chains=2, kernel="hmc", seed=5, num_warmup=40, thin=3)
+        full = sample(_model, {"x": jnp.zeros(2)}, num_samples=20, **kw)
+        half = sample(_model, {"x": jnp.zeros(2)}, num_samples=10, **kw)
+        rest = resume(_model, half, num_samples=10)
+        glued = np.concatenate(
+            [np.asarray(half.samples["x"]), np.asarray(rest.samples["x"])],
+            axis=1,
+        )
+        np.testing.assert_array_equal(np.asarray(full.samples["x"]), glued)
+
+    def test_resume_with_data_and_transforms(self, tmp_path):
+        rng = np.random.default_rng(2)
+        data = {"y": jnp.asarray(rng.normal(1.0, 0.5, 32).astype(np.float32))}
+
+        def lp(params, data):
+            return (
+                Normal(0.0, 5.0).log_prob(params["mu"])
+                + Normal(0.0, 1.0).log_prob(jnp.log(params["sigma"]))
+                + jnp.sum(
+                    Normal(params["mu"], params["sigma"]).log_prob(data["y"])
+                )
+            )
+
+        kw = dict(
+            num_chains=2, kernel="nuts", seed=8, num_warmup=50,
+            max_tree_depth=5, data=data, transforms={"sigma": "log"},
+        )
+        init = {"mu": 0.0, "sigma": 1.0}
+        full = sample(lp, init, num_samples=24, **kw)
+        half = sample(lp, init, num_samples=12, **kw)
+        path = str(tmp_path / "tr.npz")
+        save_checkpoint(path, half)
+        rest = resume(
+            lp, path, num_samples=12, data=data, transforms={"sigma": "log"}
+        )
+        glued = np.concatenate(
+            [np.asarray(half.samples["sigma"]), np.asarray(rest.samples["sigma"])],
+            axis=1,
+        )
+        np.testing.assert_array_equal(np.asarray(full.samples["sigma"]), glued)
+        # transforms mismatch is rejected, not silently wrong
+        with pytest.raises(ValueError, match="transforms"):
+            resume(lp, path, num_samples=4, data=data)
+        # data mismatch is rejected
+        bad = {"y": jnp.zeros(16, jnp.float32)}
+        with pytest.raises(ValueError, match="fingerprint"):
+            resume(
+                lp, path, num_samples=4, data=bad,
+                transforms={"sigma": "log"},
+            )
+
+    def test_contradicting_kwargs_rejected(self):
+        half = sample(
+            _model, {"x": jnp.zeros(2)}, num_samples=10, num_chains=2,
+            kernel="nuts", seed=0, num_warmup=30, max_tree_depth=5,
+        )
+        with pytest.raises(ValueError, match="max_tree_depth"):
+            resume(_model, half, num_samples=10, max_tree_depth=7)
+
+    def test_warmup_checkpoint_routed_to_resume_warmup(self):
+        from mlx_mcmc_tpu.io import run_warmup
+
+        ckpt = run_warmup(
+            _model, {"x": jnp.zeros(2)}, num_warmup=40, stop=20,
+            num_chains=2, seed=0,
+        )
+        with pytest.raises(ValueError, match="resume_warmup"):
+            resume(_model, ckpt, num_samples=10)
+
+    def test_key_seed_has_no_payload(self):
+        import jax
+
+        res = sample(
+            _model, {"x": jnp.zeros(2)}, num_samples=10, num_chains=2,
+            kernel="hmc", seed=jax.random.PRNGKey(0), num_warmup=20,
+        )
+        assert res.resume_payload is None
+
+    def test_orbax_exact_roundtrip(self, tmp_path):
+        pytest.importorskip("orbax.checkpoint")
+        kw = dict(num_chains=2, kernel="nuts", seed=21, num_warmup=40,
+                  max_tree_depth=5)
+        full = sample(_model, {"x": jnp.zeros(2)}, num_samples=20, **kw)
+        half = sample(_model, {"x": jnp.zeros(2)}, num_samples=10, **kw)
+        path = str(tmp_path / "orbax_exact")
+        save_checkpoint(path, half, backend="orbax")
+        ckpt = load_checkpoint(path)
+        assert ckpt["phase"] == "sampling"
+        rest = resume(_model, ckpt, num_samples=10)
+        glued = np.concatenate(
+            [np.asarray(half.samples["x"]), np.asarray(rest.samples["x"])],
+            axis=1,
+        )
+        np.testing.assert_array_equal(np.asarray(full.samples["x"]), glued)
+
+
 class TestMidWarmupResume:
     """SURVEY.md §5.4: resume mid-warmup. The layout-invariant RNG
     (``fold_in(chain_key, global_step)``) plus the static warmup schedule make
