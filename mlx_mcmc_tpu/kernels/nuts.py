@@ -56,15 +56,21 @@ def _is_turning(r_sum, r_first, r_last, inv_mass_diag) -> jnp.ndarray:
 
 
 class _Proposal(NamedTuple):
-    """The candidate next state: the position ONLY. Momentum, log-prob and
-    gradient are deliberately NOT tracked: none is consumed inside the loop
-    (leaf weights come from the integrator's energies, not the proposal), so
-    carrying them costs four extra (D,)/(,)-selects per leaf per chain plus
-    their share of while-carry traffic. The selected position's density and
-    gradient are recomputed with ONE extra value_and_grad per draw after the
-    loop — ~1/15th of a leaf's cost at realistic tree sizes."""
+    """The candidate next state: position plus its cached density/gradient.
+
+    r3 carried the position ONLY and recomputed (log_prob, grad) with one
+    extra value_and_grad per draw after the loop — cheaper when trees run
+    deep (the selects cost ~per leaf, the recompute ~once per draw). r4
+    reversed this after the flagship moved to shallow adapted trees (~4-5
+    pair iterations per draw at 4096 chains): one vag is ~0.21 ms there
+    while the four extra (C, D)/(C,) selects per pair measure ~10-20 us —
+    carrying wins ~8% of the draw cost, and on the data-sharded path it
+    removes a per-draw collective as well (momentum stays untracked: nothing
+    consumes it downstream)."""
 
     z: jnp.ndarray
+    log_prob: jnp.ndarray
+    grad: jnp.ndarray
 
 
 class _NutsCarry(NamedTuple):
@@ -101,12 +107,13 @@ class _NutsCarry(NamedTuple):
     sub_r_sum: jnp.ndarray
     sub_leaf: jnp.ndarray  # i32 leaves built in the current subtree
     going_right: jnp.ndarray  # bool, direction of the current subtree
+    iter_idx: jnp.ndarray  # i32 body-iteration counter (pregen-RNG slot)
     r_ckpts: jnp.ndarray  # (max_tree_depth, D) even-leaf momenta
     r_sum_ckpts: jnp.ndarray  # (max_tree_depth, D) even-leaf prefix sums
 
 
 def _as_proposal(state: IntegratorState) -> _Proposal:
-    return _Proposal(z=state.z)
+    return _Proposal(z=state.z, log_prob=state.log_prob, grad=state.grad)
 
 
 def make_nuts_kernel(
@@ -192,6 +199,18 @@ def make_nuts_kernel(
             accept_stat = jnp.exp(jnp.minimum(-delta, 0.0))
             return leaf_div, log_w, accept_stat
 
+        # ONE threefry invocation per draw: every uniform the tree build can
+        # consume is drawn up front into a (2^(d-1), 4) table — row 0 feeds
+        # the peeled root, row p the p-th pair iteration. Per-pair
+        # ``fold_in`` + ``uniform((4,))`` calls are invocation-overhead-bound
+        # at chain width (~30 us each at 4096 vmapped chains, ~6 calls per
+        # draw); the one batched draw generates 8x the values but costs a
+        # single invocation. Rows past the realized tree are wasted threefry
+        # throughput — cheap next to the invocation overhead they replace.
+        n_slots = 1 << (max_tree_depth - 1)
+        U = jax.random.uniform(key_loop, (n_slots, 4))
+        slots_u = jnp.arange(n_slots, dtype=jnp.int32)
+
         # --- peeled root doubling: the depth-0 subtree is one leaf, so the
         # loop below can process exactly one even+odd leaf PAIR (two
         # leapfrogs) per iteration. Every later subtree has 2^d >= 2 leaves
@@ -201,7 +220,7 @@ def make_nuts_kernel(
         # fixed per-iteration cost, and the checkpoint-buffer write (even
         # leaves) and batched U-turn check (odd leaves) — the two big (T, D)
         # bookkeeping passes — run once per pair instead of once per leaf.
-        u0 = jax.random.uniform(jax.random.fold_in(key_loop, 0), (4,))
+        u0 = U[0]
         going_right0 = u0[0] < 0.5
         new0 = leapfrog(
             start, jnp.where(going_right0, eps, -eps), inv_mass
@@ -224,7 +243,11 @@ def make_nuts_kernel(
         carry0 = _NutsCarry(
             left=left0,
             right=right0,
-            proposal=_Proposal(z=jnp.where(move0, new0.z, start.z)),
+            proposal=jax.tree_util.tree_map(
+                lambda n, s: jnp.where(move0, n, s),
+                _as_proposal(new0),
+                _as_proposal(start),
+            ),
             log_weight=jnp.logaddexp(0.0, lw0),
             r_sum=r_sum0,
             depth=jnp.asarray(1, jnp.int32),
@@ -233,11 +256,12 @@ def make_nuts_kernel(
             sum_accept=acc0,
             num_leaves=jnp.asarray(1, jnp.int32),
             sub_last=new0,
-            sub_proposal=_Proposal(z=new0.z),
+            sub_proposal=_as_proposal(new0),
             sub_log_weight=jnp.asarray(-jnp.inf, f32),
             sub_r_sum=jnp.zeros((dim,), r0.dtype),
             sub_leaf=jnp.asarray(0, jnp.int32),
             going_right=jnp.asarray(False),
+            iter_idx=jnp.asarray(1, jnp.int32),
             r_ckpts=jnp.zeros((max_tree_depth, dim), r0.dtype),
             r_sum_ckpts=jnp.zeros((max_tree_depth, dim), r0.dtype),
         )
@@ -247,15 +271,14 @@ def make_nuts_kernel(
 
         def body(c: _NutsCarry) -> _NutsCarry:
             starting = c.sub_leaf == 0  # first pair of a new subtree?
-            # One threefry pass per PAIR: the pair key is the global leaf
-            # counter of its even leaf folded into the draw key; all four
-            # uniforms (direction, two within-subtree takes, across-subtree
-            # move) come from a single (4,) draw — threefry at chain width
-            # measures ~30 us per invocation at 4096 vmapped chains, so key
-            # bookkeeping was a material slice of the leaf cost (it also
-            # drops the key from the loop carry).
-            u4 = jax.random.uniform(
-                jax.random.fold_in(key_loop, c.num_leaves), (4,)
+            # This pair's four uniforms (direction, two within-subtree takes,
+            # across-subtree move) come from the pregenerated table, selected
+            # by a masked reduction rather than ``U[c.iter_idx]``: under the
+            # chain vmap a per-chain dynamic index lowers to a serialized
+            # row gather, while the masked (n_slots, 4) reduce is a ~3 us
+            # fully-vectorized pass at 4096 chains.
+            u4 = jnp.sum(
+                jnp.where((slots_u == c.iter_idx)[:, None], U, 0.0), axis=0
             )
             going_right = jnp.where(starting, u4[0] < 0.5, c.going_right)
             eps_signed = jnp.where(going_right, eps, -eps)
@@ -291,11 +314,14 @@ def make_nuts_kernel(
             p_take2 = jnp.where(jnp.isnan(p_take2), 0.0, p_take2)
             take2 = b_valid & (~div2) & (u4[2] < p_take2)
             sub_lw = jnp.where(b_valid, lw_b, lw_a)
-            # One fused 3-way select: B's take supersedes A's.
-            sub_proposal = _Proposal(
-                z=jnp.where(
-                    take2, new2.z, jnp.where(take1, new1.z, c.sub_proposal.z)
-                )
+            # One fused 3-way select per field: B's take supersedes A's.
+            sub_proposal = jax.tree_util.tree_map(
+                lambda b2, a1, p: jnp.where(
+                    take2, b2, jnp.where(take1, a1, p)
+                ),
+                _as_proposal(new2),
+                _as_proposal(new1),
+                c.sub_proposal,
             )
 
             leaf_a = jnp.where(starting, 0, c.sub_leaf)  # even leaf index
@@ -374,6 +400,7 @@ def make_nuts_kernel(
                 sub_r_sum=sum_b,
                 sub_leaf=jnp.where(complete, 0, leaf_b + 1),
                 going_right=going_right,
+                iter_idx=c.iter_idx + 1,
                 r_ckpts=r_ckpts,
                 r_sum_ckpts=r_sum_ckpts,
             )
@@ -399,16 +426,13 @@ def make_nuts_kernel(
         else:
             tree = jax.lax.while_loop(cond, body, carry0)
 
-        # One extra vag per draw to rebuild the selected state's cached
-        # density/gradient (see _Proposal: cheaper than selecting both per
-        # leaf inside the loop). On the data-sharded path this fires exactly
-        # once per draw on every chain row, so the collective schedule stays
-        # uniform.
-        log_prob_new, grad_new = value_and_grad(tree.proposal.z)
+        # The proposal carries its cached density/gradient (see _Proposal) —
+        # no recompute needed; the data-sharded collective schedule stays
+        # uniform (zero extra likelihood evaluations per draw on every row).
         new_state = HMCState(
             position=tree.proposal.z,
-            log_prob=log_prob_new,
-            grad=grad_new,
+            log_prob=tree.proposal.log_prob,
+            grad=tree.proposal.grad,
         )
         accept_prob = tree.sum_accept / jnp.maximum(
             tree.num_leaves.astype(jnp.float32), 1.0
