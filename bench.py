@@ -67,10 +67,16 @@ CONFIGS = {
     # the shortest validated schedule. ess/s: 1.74M @500, 2.07M @300,
     # 2.39M @200. Seed-robust: 5 seeds at warmup=300 give min-ESS spread
     # 1.02% and 0 total divergences.
+    # num_samples=1000 + bf16 draw store (r4): min-ESS/s amortizes the fixed
+    # warmup cost over the draw phase, and ESS grows linearly with draws
+    # (ESS/draw is constant), so longer runs report closer to the sampler's
+    # steady-state throughput. 1000 draws needs a 4096x1000x100 store —
+    # bf16 storage (engine store_dtype) halves it to 0.8 GB so it fits HBM
+    # alongside the FFT-ESS intermediates; device ESS upcasts per-chunk.
     "glm100_fused": dict(
         num_features=100, num_obs=10_000, num_chains=4096,
-        num_warmup=300, num_samples=500, max_tree_depth=6,
-        baseline_ess_per_sec=0.44, fused=True,
+        num_warmup=300, num_samples=1000, max_tree_depth=6,
+        baseline_ess_per_sec=0.44, fused=True, store_dtype="bfloat16",
         label=(
             "min-ESS/sec/chip, NUTS 100-param logistic GLM "
             "(10K obs, {chains} chains, bf16 fused Pallas)"
@@ -102,13 +108,29 @@ CONFIGS = {
     # hierarchical (mu + log_tau + 998 group effects, ~100K obs). The
     # reference names this workload (README.md:105-113 "Large model",
     # 30 min => ~0.03 ess/s) but ships no code for it.
+    # r4: the Gaussian group likelihood collapses EXACTLY to per-group
+    # sufficient statistics (ops/suffstats.py) — the whole O(N)=99.8K data
+    # reduction hoists to data prep, so a leapfrog costs O(chains x G)
+    # elementwise work with a closed-form gradient. This is the "fused
+    # kernel" for this model class; after the collapse the benchmark is
+    # NUTS-bookkeeping-bound, not bandwidth-bound (VERDICT r3 #5).
+    # hier1000_full keeps the full-data XLA path for comparison.
     "hier1000": dict(
-        family="hier", num_groups=998, obs_per_group=100,
+        family="hier", num_groups=998, obs_per_group=100, suffstats=True,
+        num_chains=512, num_warmup=400, num_samples=400, max_tree_depth=10,
+        baseline_ess_per_sec=0.03, fused=False,
+        label=(
+            "min-ESS/sec/chip, NUTS 1000-param non-centered hierarchical "
+            "(99.8K obs, {chains} chains, sufficient-statistic likelihood)"
+        ),
+    ),
+    "hier1000_full": dict(
+        family="hier", num_groups=998, obs_per_group=100, suffstats=False,
         num_chains=128, num_warmup=400, num_samples=400, max_tree_depth=10,
         baseline_ess_per_sec=0.03, fused=False,
         label=(
             "min-ESS/sec/chip, NUTS 1000-param non-centered hierarchical "
-            "(99.8K obs, {chains} chains)"
+            "(99.8K obs, {chains} chains, full-data likelihood)"
         ),
     ),
     # Funnel-geometry stress benchmark: centered eight schools. Reported
@@ -188,6 +210,18 @@ def build_problem(cfg):
             obs_per_group=cfg["obs_per_group"],
             seed=0,
         )
+        if cfg.get("suffstats"):
+            from mlx_mcmc_tpu.ops.suffstats import (
+                hier_suffstat_log_prob,
+                make_hier_normal_vag,
+                prepare_hier_normal_data,
+            )
+
+            data = prepare_hier_normal_data(spec.y)
+            extra["value_and_grad_fn"] = make_hier_normal_vag()
+            return (
+                hier_suffstat_log_prob, spec.initial_params, data, extra
+            )
         data = {"y": spec.y}  # (G, obs) — runtime arg, not closure constant
 
         def log_prob(params, data):
@@ -239,6 +273,18 @@ def _mfu_detail(result, cfg, data, wall: float, device) -> dict:
     # so the sampling phase covers num_samples*thin steps.
     scale = 1.0 + cfg["num_warmup"] / (cfg["num_samples"] * cfg.get("thin", 1))
     total_leapfrogs = sampling_leapfrogs * scale
+    # Lockstep accounting (VERDICT r3 #1): the vmapped while-loop runs every
+    # chain until the LAST chain's tree completes, so the hardware executes
+    # `1 + 2 * max_chains(ceil((leaves-1)/2))` leapfrogs per draw (paired-
+    # leaf loop: one peeled root + 2 per iteration) while only the per-chain
+    # true tree sizes are statistically useful. executed/useful is the
+    # lockstep tax; executed_mfu = useful_mfu * tax is what the MXU actually
+    # sustains. Only exact at thin=1 (thinned draws aggregate counters).
+    lockstep = None
+    if cfg.get("thin", 1) == 1:
+        iters = np.ceil(np.maximum(steps - 1.0, 0.0) / 2.0)  # (C, S)
+        exec_leaves = float(np.sum(1.0 + 2.0 * iters.max(axis=0)))
+        lockstep = exec_leaves * cfg["num_chains"] / sampling_leapfrogs
     if cfg["fused"]:
         n_eff, d_eff = data["Xp"].shape  # padded dims: real kernel work
         itemsize, x_reads = data["Xp"].dtype.itemsize, 1.0
@@ -255,6 +301,10 @@ def _mfu_detail(result, cfg, data, wall: float, device) -> dict:
         "flop_count": "useful (per-chain true tree sizes; warmup estimated)",
     }
     out.update(roofline_report(flops, bytes_total, wall, device))
+    if lockstep is not None:
+        out["lockstep_tax"] = round(lockstep, 3)
+        out["executed_mfu_pct"] = round(out["mfu_pct"] * lockstep, 2)
+        out["wasted_leapfrog_pct"] = round(100.0 * (1.0 - 1.0 / lockstep), 1)
     return out
 
 
@@ -285,6 +335,7 @@ def _bench_config(cfg, target_accept=0.8):
             # 100 params f32 = 1.6GB), so thinning trades stored draws for
             # chains. ESS is computed on the stored draws.
             thin=cfg.get("thin", 1),
+            store_dtype=cfg.get("store_dtype"),
             **extra,
         )
 
@@ -300,18 +351,22 @@ def _bench_config(cfg, target_accept=0.8):
             # autocovariance materializes (chains, pad, P) complex
             # intermediates, which OOMs HBM at 8192 chains x 100 params on
             # top of the live draw store — 4 sequential chunks cut the peak
-            # 4x for a few ms of extra dispatch.
+            # 4x for a few ms of extra dispatch. bf16-stored draws upcast
+            # per-chunk (the FFT centering needs f32 precision; chunking
+            # keeps the upcast copy off the whole-store peak).
+            ess_f32 = lambda v: device_ess(v.astype(jnp.float32))  # noqa: E731
             outs = []
             for v in samples.values():
                 v3 = v.reshape(v.shape[0], v.shape[1], -1)
                 p = v3.shape[-1]
-                if v3.shape[0] * p > 4096 * 100 and p % 4 == 0:
+                draws_big = v3.shape[0] * v3.shape[1] * p > 4096 * 500 * 100
+                if (v3.shape[0] * p > 4096 * 100 or draws_big) and p % 4 == 0:
                     chunks = jnp.moveaxis(
                         v3.reshape(v3.shape[0], v3.shape[1], 4, p // 4), 2, 0
                     )
-                    outs.append(jax.lax.map(device_ess, chunks).reshape(-1))
+                    outs.append(jax.lax.map(ess_f32, chunks).reshape(-1))
                 else:
-                    outs.append(device_ess(v3))
+                    outs.append(ess_f32(v3))
             return jnp.concatenate(outs)
 
     def all_ess_host(samples):

@@ -210,8 +210,8 @@ def build_sampler(
         step_size != "auto" or kernel == "metropolis" or not adapt_step_size
     ):
         raise ValueError(
-            "step_size='auto' requires a gradient kernel (hmc/nuts) with "
-            "adapt_step_size=True"
+            "step_size='auto' requires a gradient kernel "
+            "(hmc/nuts/chees/mala) with adapt_step_size=True"
         )
 
     if warmup_stop is None:

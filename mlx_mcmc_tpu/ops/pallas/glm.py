@@ -110,6 +110,59 @@ def _fused_kernel(x_ref, y_ref, bt_ref, ll_ref, g_ref):
     )
 
 
+def _fused_hoisted_kernel(x_ref, y_ref, bt_ref, sp_ref, gs_ref):
+    """Hoisted-outcome variant of :func:`_fused_kernel` — measured FASTER but
+    REJECTED for production. Kept as the documented negative result.
+
+    The idea: ``y`` enters the likelihood only through ``y^T X z`` and the
+    gradient only through ``X^T y``, both hoistable to data-prep constants;
+    the kernel then accumulates just ``sum softplus(s)`` and ``X^T sig(s)``
+    and the wrapper reconstructs ``ll = (X^T y).z - sum softplus`` and
+    ``g = X^T y - X^T sig``. That removes the ``y`` stream and two
+    (TILE_N, C) elementwise passes: 0.232 vs 0.244 ms/call at the flagship
+    shape (benchmarks/glm_kernel_variants.py), a ~5% kernel win.
+
+    Why it fails END-TO-END (measured, r4): the reconstruction subtracts two
+    O(N)-magnitude f32 sums (|y^T X z| and |sum softplus| are each ~N/2 ~
+    5e3 at N=10K while ll differences along a trajectory are O(1)), leaving
+    ~0.1-0.5 nats of state-dependent rounding noise in the log-likelihood —
+    an irreducible energy-error floor. NUTS's dual averaging then shrinks
+    the step size trying to reach target_accept against noise that eps
+    cannot reduce: adapted trees hit the depth cap (mean depth 6.0 vs 3.0)
+    and flagship min-ESS collapsed from 3.6M to 2.1e3 with accept still at
+    0.79. Absolute — not relative — ll accuracy is a hard requirement for
+    any fused likelihood kernel here; the production ``_fused_kernel``
+    accumulates ``y*s - softplus`` in one pass, so its partial sums stay
+    O(per-row) and the ll error stays ~1e-2 nats.
+
+    ``y_ref`` is kept in the signature (unused) so both kernels share
+    ``_fused_padded_call``.
+    """
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        sp_ref[:] = jnp.zeros_like(sp_ref)
+        gs_ref[:] = jnp.zeros_like(gs_ref)
+
+    x = x_ref[:]
+    if x.dtype == jnp.int8:
+        x = x.astype(jnp.bfloat16)
+    bt = bt_ref[:]
+
+    s = jnp.dot(x, bt, preferred_element_type=jnp.float32)
+    h = jnp.tanh(0.5 * s)
+    sig = 0.5 + 0.5 * h
+    softplus = jnp.maximum(s, 0.0) - jnp.log(0.5 + 0.5 * jnp.abs(h))
+    sp_ref[:] += jnp.sum(softplus, axis=0, keepdims=True)
+    gs_ref[:] += jax.lax.dot_general(
+        x,
+        sig.astype(x.dtype),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _pick_chain_tile(c_pad: int, max_tile: int = 1024) -> int:
     """Largest lane-multiple tile <= max_tile that divides c_pad."""
     t = min(c_pad, max_tile)
@@ -506,7 +559,9 @@ def make_fused_logistic_vag(
         log_norm = -0.5 * d * math.log(2.0 * math.pi * prior_scale * prior_scale)
         return log_norm - 0.5 * inv_var * jnp.sum(z * z, axis=-1)
 
-    def _batched_from(Xp, yp, pad_const, d, Z, col_scale=None, call_tile_n=None):
+    def _batched_from(
+        Xp, yp, pad_const, d, Z, col_scale=None, call_tile_n=None, yX=None
+    ):
         # int8 storage: X ~ Xq * diag(col_scale), so fold the scales into
         # the coefficients (s = Xq @ (c*z)) and back out of the gradient
         # (dll/dz = diag(c) Xq^T r).
@@ -519,6 +574,7 @@ def make_fused_logistic_vag(
             Bt = jnp.zeros((d_pad, c_pad), bt_dtype).at[:d, :c].set(
                 Z_eff.astype(bt_dtype).T
             )
+            del yX  # hoisted reconstruction rejected — see _fused_hoisted_kernel
             ll_pad, g_pad = _fused_padded_call(
                 Xp, yp, Bt, call_tile_n or tile_n, False
             )
@@ -546,6 +602,7 @@ def make_fused_logistic_vag(
                 data["Xp"], data["yp"], data["pad_const"], d, z[None],
                 data.get("col_scale"),
                 call_tile_n=data["tile"].shape[0] if "tile" in data else None,
+                yX=data.get("yX"),
             )
             return ll[0], g[0]
 
@@ -557,6 +614,7 @@ def make_fused_logistic_vag(
                 data["Xp"], data["yp"], data["pad_const"], d, Z,
                 data.get("col_scale"),
                 call_tile_n=data["tile"].shape[0] if "tile" in data else None,
+                yX=data.get("yX"),
             )
             return (ll, g), (True, True)
 

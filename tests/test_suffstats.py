@@ -1,0 +1,107 @@
+"""Sufficient-statistic collapse of the hierarchical-normal likelihood
+(ops/suffstats.py): the analytic value+grad must equal autodiff through the
+full-data model, and sampling through it must recover the same posterior.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mlx_mcmc_tpu.models import make_hierarchical_normal
+from mlx_mcmc_tpu.ops.ravel import make_flat_logprob
+from mlx_mcmc_tpu.ops.suffstats import (
+    hier_suffstat_log_prob,
+    make_hier_normal_vag,
+    prepare_hier_normal_data,
+)
+
+
+@pytest.fixture(scope="module")
+def spec():
+    return make_hierarchical_normal(num_groups=12, obs_per_group=20, seed=3)
+
+
+class TestSuffstatVag:
+    def test_matches_autodiff_through_full_data(self, spec):
+        data = prepare_hier_normal_data(spec.y)
+        vag = make_hier_normal_vag()
+
+        flat_lp, z0, _ = make_flat_logprob(
+            lambda p: spec.log_prob(p), spec.initial_params
+        )
+        oracle = jax.vmap(jax.value_and_grad(flat_lp))
+
+        rng = np.random.default_rng(0)
+        Z = jnp.asarray(
+            rng.normal(scale=0.7, size=(16, z0.shape[0])).astype(np.float32)
+        )
+        ll, g = jax.vmap(lambda z: vag(z, data))(Z)
+        ll_ref, g_ref = oracle(Z)
+        # identical math up to float reassociation; the centered quadratic
+        # keeps every term O(posterior scale), so tolerances are tight even
+        # though the full-data sum has 240 terms
+        np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref), rtol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(g_ref), rtol=2e-4, atol=2e-3
+        )
+
+    def test_value_twin_matches(self, spec):
+        data = prepare_hier_normal_data(spec.y)
+        vag = make_hier_normal_vag()
+        flat_lp, z0, unravel = make_flat_logprob(
+            lambda p, d: hier_suffstat_log_prob(p, d),
+            spec.initial_params,
+            data_aware=True,
+        )
+        z = z0 + 0.3
+        ll, _ = vag(z, data)
+        np.testing.assert_allclose(
+            float(ll), float(flat_lp(z, data)), rtol=1e-5
+        )
+
+    def test_unbatched_call_consistent(self, spec):
+        data = prepare_hier_normal_data(spec.y)
+        vag = make_hier_normal_vag()
+        rng = np.random.default_rng(1)
+        z = jnp.asarray(rng.normal(size=12 + 2).astype(np.float32) * 0.5)
+        ll1, g1 = vag(z, data)
+        ll2, g2 = jax.vmap(lambda zz: vag(zz, data))(z[None])
+        np.testing.assert_allclose(float(ll1), float(ll2[0]), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(g1), np.asarray(g2[0]), rtol=1e-6
+        )
+
+    def test_sampling_through_suffstats_matches_full_data(self, spec):
+        from mlx_mcmc_tpu import sample
+
+        data = prepare_hier_normal_data(spec.y)
+        res = sample(
+            hier_suffstat_log_prob,
+            spec.initial_params,
+            data=data,
+            value_and_grad_fn=make_hier_normal_vag(),
+            num_warmup=300,
+            num_samples=300,
+            num_chains=8,
+            kernel="nuts",
+            max_tree_depth=6,
+            seed=0,
+        )
+        full = sample(
+            lambda p: spec.log_prob(p),
+            spec.initial_params,
+            num_warmup=300,
+            num_samples=300,
+            num_chains=8,
+            kernel="nuts",
+            max_tree_depth=6,
+            seed=1,
+        )
+        assert res.divergences == 0
+        mu_a = float(np.mean(np.asarray(res.samples["mu"])))
+        mu_b = float(np.mean(np.asarray(full.samples["mu"])))
+        assert abs(mu_a - mu_b) < 0.1
+        tau_a = float(np.mean(np.exp(np.asarray(res.samples["log_tau"]))))
+        tau_b = float(np.mean(np.exp(np.asarray(full.samples["log_tau"]))))
+        assert abs(tau_a - tau_b) < 0.1
