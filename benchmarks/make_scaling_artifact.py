@@ -29,11 +29,15 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHAIN_ROWS = [
-    # (chains, num_samples, thin)
+    # (chains, num_samples, thin) — r4: every row runs thin=1 with the bf16
+    # draw store (bench.py glm100_fused store_dtype), which halves the
+    # (chains, draws, D) HBM footprint that forced the r3 8192-row to
+    # thin=2. num_samples fixed at 500 across rows so the warmup
+    # amortization is identical (the flagship bench itself runs 1000).
     (1024, 500, 1),
     (2048, 500, 1),
     (4096, 500, 1),
-    (8192, 250, 2),
+    (8192, 500, 1),
 ]
 
 
@@ -65,6 +69,19 @@ def run_bench_row(chains: int, num_samples: int, thin: int) -> dict:
     }
 
 
+def collective_overhead_cpu() -> dict:
+    """Run the r4 collective-isolation harness (subprocess: platform
+    selection must precede first backend use)."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benchmarks",
+                                      "collective_overhead.py")],
+        cwd=REPO, capture_output=True, text=True, timeout=3600,
+    )
+    lines = out.stdout.splitlines()
+    start = next(i for i, ln in enumerate(lines) if ln.startswith("{"))
+    return json.loads("\n".join(lines[start:]))
+
+
 def weak_scaling_cpu() -> list:
     """Run the weak-scaling harness in a subprocess (platform selection must
     happen before first backend use, so it cannot share this process)."""
@@ -88,7 +105,7 @@ def weak_scaling_cpu() -> list:
 
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        REPO, "SCALING_r03.json"
+        REPO, "SCALING_r04.json"
     )
     import jax
 
@@ -106,6 +123,7 @@ def main() -> None:
         )
 
     weak = weak_scaling_cpu()
+    collective = collective_overhead_cpu()
     artifact = {
         "chain_scaling": {
             "config": "glm100_fused (NUTS, 100-param logistic GLM, 10K obs, "
@@ -121,8 +139,17 @@ def main() -> None:
             "device": "8-device virtual CPU mesh (rehearsal: collectives and "
                       "shardings identical to multi-chip, absolute numbers "
                       "are not hardware-meaningful)",
+            "efficiency_caveat": (
+                "this host has 2 PHYSICAL cores: the 4- and 8-shard rows "
+                "oversubscribe 2-4x, so the efficiency column measures "
+                "host contention, NOT collective cost — it is a harness "
+                "rehearsal, not a scaling claim. The isolated collective "
+                "cost is in the collective_overhead section; on real ICI "
+                "see its prediction field."
+            ),
             "rows": weak,
         },
+        "collective_overhead": collective,
     }
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1)
