@@ -511,3 +511,58 @@ class TestOrbaxBackend:
         )
         res2 = resume(_model, ckpt, num_samples=50)
         assert res2.samples["x"].shape == (2, 50, 2)
+
+    def test_orbax_warmup_dict_roundtrip(self, tmp_path):
+        # VERDICT r3 #7: mid-warmup checkpoints through the orbax backend
+        # (async-capable, multi-host-aware) — previously npz-only.
+        pytest.importorskip("orbax.checkpoint")
+        from mlx_mcmc_tpu.io import resume_warmup, run_warmup
+
+        kwargs = dict(num_chains=4, kernel="nuts", seed=7)
+        full = sample(
+            _model, {"x": jnp.zeros(3)}, num_warmup=80, num_samples=40,
+            **kwargs,
+        )
+        ckpt = run_warmup(
+            _model, {"x": jnp.zeros(3)}, num_warmup=80, stop=33, **kwargs
+        )
+        path = str(tmp_path / "warmup_orbax")
+        save_checkpoint(path, ckpt, backend="orbax")
+        assert (tmp_path / "warmup_orbax").is_dir()  # orbax directory tree
+        loaded = load_checkpoint(path)
+        assert loaded["phase"] == "warmup"
+        assert loaded["warmup_step"] == 33
+        res = resume_warmup(_model, loaded, num_samples=40)
+        np.testing.assert_array_equal(
+            np.asarray(res.samples["x"]), np.asarray(full.samples["x"])
+        )
+
+    def test_orbax_sharded_warmup_roundtrip(self, tmp_path):
+        pytest.importorskip("orbax.checkpoint")
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from mlx_mcmc_tpu.io import resume_warmup, run_warmup
+        from mlx_mcmc_tpu.parallel import chain_mesh, sample_sharded
+
+        mesh = chain_mesh()
+        kwargs = dict(num_chains=16, kernel="nuts", seed=5)
+        full = sample_sharded(
+            _model, {"x": jnp.zeros(2)}, num_warmup=60, num_samples=30,
+            mesh=mesh, **kwargs,
+        )
+        ckpt = run_warmup(
+            _model, {"x": jnp.zeros(2)}, num_warmup=60, stop=25, mesh=mesh,
+            **kwargs,
+        )
+        path = str(tmp_path / "warmup_orbax_sharded")
+        save_checkpoint(path, ckpt, backend="orbax")
+        loaded = load_checkpoint(path)
+        assert loaded["mesh_axes"] is not None  # layout guard survives orbax
+        res = resume_warmup(
+            _model, loaded, num_samples=30, mesh=mesh
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res.samples["x"]), np.asarray(full.samples["x"])
+        )
