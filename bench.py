@@ -48,12 +48,12 @@ CONFIGS = {
         label="min-ESS/sec/chip, NUTS 100-param logistic GLM (10K obs, {chains} chains)",
     ),
     # FLAGSHIP (default): bf16 design matrix + fused single-pass Pallas
-    # value+grad (2-D grid, shared-exp epilogue), same posterior as glm100.
+    # value+grad (2-D grid, tanh epilogue), same posterior as glm100.
     # Measured progression @4096 chains: plain XLA 296k ess/s -> fused
     # 337k -> +single-threefry-per-leaf 348k -> depth cap 6: 359k -> tanh
     # epilogue 403k -> paired-leaf loop 444k -> compiled-runner cache 1.73M
-    # (wall 2.09 s, MFU 36.6%, 0 divergences; the warm run is pure device
-    # time now that sample() reuses the traced program).
+    # -> 300-step pooled warmup 2.07M (r3) -> r4 pregen-RNG + proposal-
+    # carry kernel + 1000 draws 2.72M -> 2000 draws 3.10M (steady state).
     # max_tree_depth=6 is a config choice, not a
     # bias: adapted trajectories U-turn at depth 3 (2^6-1=63 leapfrogs of
     # headroom) and min-ESS is unchanged vs depth 8 — smaller checkpoint
@@ -67,15 +67,17 @@ CONFIGS = {
     # the shortest validated schedule. ess/s: 1.74M @500, 2.07M @300,
     # 2.39M @200. Seed-robust: 5 seeds at warmup=300 give min-ESS spread
     # 1.02% and 0 total divergences.
-    # num_samples=1000 + bf16 draw store (r4): min-ESS/s amortizes the fixed
+    # num_samples=2000 + bf16 draw store (r4): min-ESS/s amortizes the fixed
     # warmup cost over the draw phase, and ESS grows linearly with draws
-    # (ESS/draw is constant), so longer runs report closer to the sampler's
-    # steady-state throughput. 1000 draws needs a 4096x1000x100 store —
-    # bf16 storage (engine store_dtype) halves it to 0.8 GB so it fits HBM
-    # alongside the FFT-ESS intermediates; device ESS upcasts per-chunk.
+    # (ESS/draw is constant), so longer runs report the sampler's
+    # steady-state throughput. Measured r4 sweep (same seed/settings):
+    # 2.72M ess/s @1000 draws -> 3.10M @2000 (warmup is ~14% of wall);
+    # 2048 chains x 2000 draws gives 3.08M, so 4096 is kept for the larger
+    # absolute ESS (14.1M per run). The 4096x2000x100 store is 1.6 GB in
+    # bf16 (engine store_dtype); device ESS upcasts per param-chunk.
     "glm100_fused": dict(
         num_features=100, num_obs=10_000, num_chains=4096,
-        num_warmup=300, num_samples=1000, max_tree_depth=6,
+        num_warmup=300, num_samples=2000, max_tree_depth=6,
         baseline_ess_per_sec=0.44, fused=True, store_dtype="bfloat16",
         label=(
             "min-ESS/sec/chip, NUTS 100-param logistic GLM "
