@@ -285,6 +285,15 @@ def sample(
     if config is not None:
         kw = config.to_kwargs()
         kw.update(kernel_kwargs)
+        # explicit keyword arguments win over the config's fields
+        store_dtype = store_dtype if store_dtype is not None else kw.pop(
+            "store_dtype", None
+        )
+        kw.pop("store_dtype", None)
+        draw_chunk = draw_chunk if draw_chunk is not None else kw.pop(
+            "draw_chunk", None
+        )
+        kw.pop("draw_chunk", None)
         return sample(
             log_prob_fn,
             initial_params,

@@ -38,11 +38,24 @@ class SamplerConfig:
     max_leapfrog_steps: int = 1000  # chees only: trajectory-length cap
     seed: int = 0
     jitter: float = 0.0
+    thin: int = 1
+    # Draw-store management (SURVEY.md §7 "full draws only on demand"):
+    # store_dtype='bfloat16' halves the (chains, draws, D) HBM store;
+    # draw_chunk=k scans the sampling phase in host-fetched chunks so the
+    # store never has to fit HBM at all (bit-identical draws either way).
+    store_dtype: Optional[str] = None
+    draw_chunk: Optional[int] = None
     adaptation: AdaptationConfig = field(default_factory=AdaptationConfig)
 
     def to_kwargs(self) -> dict:
         kw = asdict(self)
         ad = kw.pop("adaptation")
+        if kw.get("store_dtype") is None:
+            kw.pop("store_dtype")
+        if kw.get("draw_chunk") is None:
+            kw.pop("draw_chunk")
+        if kw.get("thin") == 1:
+            kw.pop("thin")
         kw.update(
             adapt_step_size=ad["adapt_step_size"],
             adapt_mass_matrix=ad["adapt_mass_matrix"],
