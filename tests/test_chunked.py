@@ -132,6 +132,22 @@ class TestDrawChunk:
         assert np.all(np.asarray(chunked.samples["sigma"]) > 0)
 
 
+class TestChunkedResumeComposition:
+    def test_resume_after_chunked_run(self, data):
+        from mlx_mcmc_tpu.io import resume
+
+        kw = dict(num_warmup=40, num_chains=2, kernel="hmc", seed=4,
+                  data=data)
+        full = sample(_model, INIT, num_samples=40, **kw)
+        half = sample(_model, INIT, num_samples=20, draw_chunk=8, **kw)
+        rest = resume(_model, half, num_samples=20, data=data)
+        glued = np.concatenate(
+            [np.asarray(half.samples["mu"]), np.asarray(rest.samples["mu"])],
+            axis=1,
+        )
+        np.testing.assert_array_equal(np.asarray(full.samples["mu"]), glued)
+
+
 class TestStoreDtype:
     def test_bf16_store_rounds_only_storage(self, data):
         kw = dict(
