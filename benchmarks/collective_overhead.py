@@ -130,6 +130,12 @@ def measure(total_chains: int = 32, steps=(120, 420), seed: int = 0) -> dict:
             "at window ends"
         ),
         "grid": grid,
+        "interpretation": (
+            "If the grid's collective_ms_per_step values are non-monotone "
+            "and of both signs across shard counts, the collective cost is "
+            "below the host's measurement noise floor - report that, not "
+            "a point estimate."
+        ),
         "prediction": (
             "On real v5e ICI the same collectives are 1 scalar + a few "
             "(1000,)-element reductions per warmup step — single-digit "
