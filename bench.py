@@ -349,26 +349,32 @@ def _bench_config(cfg, target_accept=0.8):
         @jax.jit
         def ess_fn(samples):
             # min-ESS across EVERY parameter (not just the largest block).
-            # Wide-chain runs chunk the param axis through lax.map: the FFT
-            # autocovariance materializes (chains, pad, P) complex
-            # intermediates, which OOMs HBM at 8192 chains x 100 params on
-            # top of the live draw store — 4 sequential chunks cut the peak
-            # 4x for a few ms of extra dispatch. bf16-stored draws upcast
-            # per-chunk (the FFT centering needs f32 precision; chunking
-            # keeps the upcast copy off the whole-store peak).
+            # The FFT autocovariance materializes a (chains, pad, W)
+            # complex64 intermediate per param-chunk; cap that at ~1 GB by
+            # slicing the param axis (static python loop inside the jit —
+            # works for ANY param count; the old reshape-into-4 path
+            # required P % 4 == 0 and OOMed the 998-param hierarchical at
+            # 1024 chains: 1024 x 2048pad x 998 c64 = 16 GB). bf16-stored
+            # draws upcast per-slice, keeping the f32 copy off the
+            # whole-store peak.
             ess_f32 = lambda v: device_ess(v.astype(jnp.float32))  # noqa: E731
             outs = []
             for v in samples.values():
                 v3 = v.reshape(v.shape[0], v.shape[1], -1)
                 p = v3.shape[-1]
-                draws_big = v3.shape[0] * v3.shape[1] * p > 4096 * 500 * 100
-                if (v3.shape[0] * p > 4096 * 100 or draws_big) and p % 4 == 0:
-                    chunks = jnp.moveaxis(
-                        v3.reshape(v3.shape[0], v3.shape[1], 4, p // 4), 2, 0
-                    )
-                    outs.append(jax.lax.map(ess_f32, chunks).reshape(-1))
-                else:
+                pad = 1 << (2 * v3.shape[1] - 1).bit_length()
+                max_w = max(1, int(1e9 / (v3.shape[0] * pad * 8)))
+                if p <= max_w:
                     outs.append(ess_f32(v3))
+                else:
+                    outs.append(
+                        jnp.concatenate(
+                            [
+                                ess_f32(v3[..., i:i + max_w])
+                                for i in range(0, p, max_w)
+                            ]
+                        )
+                    )
             return jnp.concatenate(outs)
 
     def all_ess_host(samples):

@@ -28,6 +28,17 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+
+def _checked(out: "subprocess.CompletedProcess", what: str) -> str:
+    """Fail loudly with the subprocess stderr — a silent StopIteration from
+    a missing output line would otherwise eat the real cause after a
+    40-minute artifact run."""
+    if out.returncode != 0:
+        raise RuntimeError(
+            f"{what} failed (exit {out.returncode}):\n{out.stderr[-4000:]}"
+        )
+    return out.stdout
+
 CHAIN_ROWS = [
     # (chains, num_samples, thin) — r4: every row runs thin=1 with the bf16
     # draw store (bench.py glm100_fused store_dtype), which halves the
@@ -54,7 +65,8 @@ def run_bench_row(chains: int, num_samples: int, thin: int) -> dict:
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600,
     )
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    stdout = _checked(out, f"bench row chains={chains}")
+    line = [ln for ln in stdout.splitlines() if ln.startswith("{")][-1]
     rec = json.loads(line)
     d = rec["detail"]
     return {
@@ -77,7 +89,7 @@ def collective_overhead_cpu() -> dict:
                                       "collective_overhead.py")],
         cwd=REPO, capture_output=True, text=True, timeout=3600,
     )
-    lines = out.stdout.splitlines()
+    lines = _checked(out, "collective_overhead").splitlines()
     start = next(i for i, ln in enumerate(lines) if ln.startswith("{"))
     return json.loads("\n".join(lines[start:]))
 
@@ -99,7 +111,8 @@ def weak_scaling_cpu() -> list:
         [sys.executable, "-c", code], cwd=REPO,
         capture_output=True, text=True, timeout=3600,
     )
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("ROWS=")][-1]
+    stdout = _checked(out, "weak_scaling")
+    line = [ln for ln in stdout.splitlines() if ln.startswith("ROWS=")][-1]
     return json.loads(line[len("ROWS="):])
 
 

@@ -96,17 +96,28 @@ def clear_runner_cache() -> None:
         pass
 
 
-def _cache_get(key):
-    hit = _RUNNER_CACHE.get(key)
+def _lru_get(cache: "OrderedDict", key):
+    """Shared LRU read: hits move to the back of the eviction queue. Used
+    by both this module's cache and parallel.sharded's — one eviction
+    policy, defined once."""
+    hit = cache.get(key)
     if hit is not None:
-        _RUNNER_CACHE.move_to_end(key)  # LRU: hits stay hot
+        cache.move_to_end(key)
     return hit
 
 
+def _lru_put(cache: "OrderedDict", key, value, max_size: int) -> None:
+    if len(cache) >= max_size:
+        cache.popitem(last=False)  # evict least-recently-used
+    cache[key] = value
+
+
+def _cache_get(key):
+    return _lru_get(_RUNNER_CACHE, key)
+
+
 def _cache_put(key, value) -> None:
-    if len(_RUNNER_CACHE) >= _RUNNER_CACHE_MAX:
-        _RUNNER_CACHE.popitem(last=False)  # evict least-recently-used
-    _RUNNER_CACHE[key] = value
+    _lru_put(_RUNNER_CACHE, key, value, _RUNNER_CACHE_MAX)
 
 
 def _reuse_jit(tag: str, key_items: tuple, fn, pin=()):

@@ -145,6 +145,13 @@ def _sampling_payload(payload: Dict[str, Any]):
         "target_accept": payload["target_accept"],
         "store_dtype": payload["store_dtype"],
         "sampler_kwargs": _storable_kwargs(payload["kernel_kwargs"]),
+        # Callable kwargs (value_and_grad_fn, custom step fns) cannot be
+        # serialized; record their NAMES so resume can demand they be
+        # re-passed — silently rebuilding with autodiff instead of, say,
+        # the fused Pallas vag would void bit-exactness without any error.
+        "callable_kwargs": sorted(
+            k for k, v in payload["kernel_kwargs"].items() if callable(v)
+        ),
         "has_transforms": payload["has_transforms"],
         "data_fingerprint": payload["data_fingerprint"],
         "param_names": list(positions.keys()),
@@ -320,12 +327,18 @@ def resume(
     """
     from mlx_mcmc_tpu.inference.api import sample
 
-    payload = getattr(checkpoint, "resume_payload", None)
-    if payload is not None:
-        # A live MCMCResult: serialize->rehydrate through the same payload
-        # helpers the file path uses, skipping the disk roundtrip.
-        meta, arrays = _sampling_payload(payload)
-        checkpoint = _load_sampling(arrays, meta)
+    if hasattr(checkpoint, "resume_payload"):
+        payload = checkpoint.resume_payload
+        if payload is not None:
+            # A live MCMCResult: serialize->rehydrate through the same
+            # payload helpers the file path uses, skipping the disk
+            # roundtrip.
+            meta, arrays = _sampling_payload(payload)
+            checkpoint = _load_sampling(arrays, meta)
+        else:
+            # PRNG-key-seeded result: no exact payload exists; fall back to
+            # the legacy statistical resume from the result's last draws.
+            checkpoint = _result_state(checkpoint)
     if isinstance(checkpoint, str):
         checkpoint = load_checkpoint(checkpoint)
     if checkpoint.get("phase") == "sampling":
@@ -408,6 +421,17 @@ def _resume_exact(
             f"run's thin={thin}"
         )
     kwargs["thin"] = thin
+    missing_callables = [
+        k for k in ckpt.get("callable_kwargs", []) if k not in kwargs
+    ]
+    if missing_callables:
+        raise ValueError(
+            "resume: the checkpointed run used callable kwarg(s) "
+            f"{missing_callables} (e.g. a fused value_and_grad_fn) that "
+            "cannot be serialized — re-pass the same callable(s) to resume "
+            "bit-exactly (rebuilding with autodiff would silently change "
+            "the accumulation order)"
+        )
     stored_fp = ckpt.get("data_fingerprint")
     fp = _data_fingerprint(data)
     norm_stored = (
@@ -461,7 +485,48 @@ def _resume_exact(
     chain_keys = make_chain_keys(key_run, int(ckpt["num_chains"]))
     resume_state = _resume_state_from_ckpt(ckpt)
     offset = int(ckpt["next_sample_start"])
-    result = jax.jit(run)(
+    # Reuse the compiled continuation runner across repeated resume() calls
+    # (api._RUNNER_CACHE): a resume LOOP extending a run would otherwise
+    # re-trace+re-compile the whole sampling scan every call (~6 s host
+    # work at the flagship shape). Same identity-keying rules as sample();
+    # unhashable kwargs fall back to a one-off jit.
+    from mlx_mcmc_tpu.inference.api import _hashable, _reuse_jit
+
+    cacheable = (
+        _hashable(ckpt["step_size"])
+        and _hashable(ckpt["target_accept"])
+        and all(_hashable(v) for v in kwargs.values())
+        and (
+            transforms is None
+            or all(_hashable(v) for v in transforms.values())
+        )
+    )
+    if cacheable:
+        jrun = _reuse_jit(
+            "resume_exact",
+            (
+                id(log_prob_fn),
+                None
+                if transforms is None
+                else tuple(sorted(transforms.items())),
+                kernel,
+                num_warmup,
+                num_samples,
+                ckpt["step_size"],
+                bool(ckpt["adapt_step_size"]),
+                bool(ckpt["adapt_mass_matrix"]),
+                ckpt["target_accept"],
+                store_key,
+                dim,
+                data is not None,
+                tuple(sorted(kwargs.items(), key=lambda kv: kv[0])),
+            ),
+            run,
+            pin=(log_prob_fn, tuple(kwargs.values())),
+        )
+    else:
+        jrun = jax.jit(run)
+    result = jrun(
         chain_keys, z0_batch, data, resume_state, run.sched, offset
     )
     vv_unravel = jax.vmap(jax.vmap(unravel))

@@ -559,9 +559,7 @@ def make_fused_logistic_vag(
         log_norm = -0.5 * d * math.log(2.0 * math.pi * prior_scale * prior_scale)
         return log_norm - 0.5 * inv_var * jnp.sum(z * z, axis=-1)
 
-    def _batched_from(
-        Xp, yp, pad_const, d, Z, col_scale=None, call_tile_n=None, yX=None
-    ):
+    def _batched_from(Xp, yp, pad_const, d, Z, col_scale=None, call_tile_n=None):
         # int8 storage: X ~ Xq * diag(col_scale), so fold the scales into
         # the coefficients (s = Xq @ (c*z)) and back out of the gradient
         # (dll/dz = diag(c) Xq^T r).
@@ -574,7 +572,6 @@ def make_fused_logistic_vag(
             Bt = jnp.zeros((d_pad, c_pad), bt_dtype).at[:d, :c].set(
                 Z_eff.astype(bt_dtype).T
             )
-            del yX  # hoisted reconstruction rejected — see _fused_hoisted_kernel
             ll_pad, g_pad = _fused_padded_call(
                 Xp, yp, Bt, call_tile_n or tile_n, False
             )
@@ -602,7 +599,6 @@ def make_fused_logistic_vag(
                 data["Xp"], data["yp"], data["pad_const"], d, z[None],
                 data.get("col_scale"),
                 call_tile_n=data["tile"].shape[0] if "tile" in data else None,
-                yX=data.get("yX"),
             )
             return ll[0], g[0]
 
@@ -614,7 +610,6 @@ def make_fused_logistic_vag(
                 data["Xp"], data["yp"], data["pad_const"], d, Z,
                 data.get("col_scale"),
                 call_tile_n=data["tile"].shape[0] if "tile" in data else None,
-                yX=data.get("yX"),
             )
             return (ll, g), (True, True)
 

@@ -135,10 +135,24 @@ def make_hier_normal_vag(
     return vag
 
 
-def hier_suffstat_log_prob(params: dict, data: dict) -> jnp.ndarray:
+def hier_suffstat_log_prob(
+    params: dict,
+    data: dict,
+    *,
+    prior_mu_scale: float = 5.0,
+    prior_log_tau_scale: float = 1.0,
+) -> jnp.ndarray:
     """Dict-level log-posterior over the sufficient statistics — the value
     twin of :func:`make_hier_normal_vag` for engine paths that evaluate the
-    density directly (MAP/ADVI init, metropolis)."""
+    density directly (MAP/ADVI init, metropolis).
+
+    The prior scales MUST match the ones passed to
+    :func:`make_hier_normal_vag`, or the density-only paths would evaluate
+    a different posterior than the gradient path. With non-default scales
+    bind them first: ``functools.partial(hier_suffstat_log_prob,
+    prior_mu_scale=s1, prior_log_tau_scale=s2)`` (the engine calls the
+    model as a binary ``(params, data)``).
+    """
     mu, log_tau = params["mu"], params["log_tau"]
     theta_raw = params["theta_raw"]
     tau = jnp.exp(log_tau)
@@ -150,9 +164,11 @@ def hier_suffstat_log_prob(params: dict, data: dict) -> jnp.ndarray:
     half_log2pi = 0.5 * math.log(2.0 * math.pi)
     return (
         ll
-        - math.log(5.0)
+        - math.log(prior_mu_scale)
+        - math.log(prior_log_tau_scale)
         - (2.0 + g) * half_log2pi
-        - 0.5 * (mu * mu) / 25.0
-        - 0.5 * log_tau * log_tau
+        - 0.5 * (mu * mu) / (prior_mu_scale * prior_mu_scale)
+        - 0.5 * (log_tau * log_tau)
+        / (prior_log_tau_scale * prior_log_tau_scale)
         - 0.5 * jnp.sum(theta_raw * theta_raw)
     )

@@ -34,7 +34,14 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from mlx_mcmc_tpu.inference.api import MCMCResult, _as_key, _hashable, _param_spec
+from mlx_mcmc_tpu.inference.api import (
+    MCMCResult,
+    _as_key,
+    _hashable,
+    _lru_get,
+    _lru_put,
+    _param_spec,
+)
 from mlx_mcmc_tpu.inference.engine import (
     build_sampler,
     make_chain_keys,
@@ -161,9 +168,7 @@ def _sharded_engine_run(
             tuple(sorted(kernel_kwargs.items(), key=lambda kv: kv[0])),
         )
         try:
-            entry = _SHARDED_CACHE.get(cache_key)
-            if entry is not None:
-                _SHARDED_CACHE.move_to_end(cache_key)  # LRU
+            entry = _lru_get(_SHARDED_CACHE, cache_key)
         except TypeError:  # unhashable leaf in the key
             cacheable, cache_key = False, None
 
@@ -190,9 +195,7 @@ def _sharded_engine_run(
             kernel_kwargs=kernel_kwargs,
         )
         if cacheable:
-            if len(_SHARDED_CACHE) >= _SHARDED_CACHE_MAX:
-                _SHARDED_CACHE.popitem(last=False)  # LRU eviction
-            _SHARDED_CACHE[cache_key] = entry
+            _lru_put(_SHARDED_CACHE, cache_key, entry, _SHARDED_CACHE_MAX)
 
     key = _as_key(seed)
     key_init, key_run = jax.random.split(key)

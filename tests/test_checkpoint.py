@@ -169,6 +169,44 @@ class TestExactSamplingResume:
             kernel="hmc", seed=jax.random.PRNGKey(0), num_warmup=20,
         )
         assert res.resume_payload is None
+        # resume() on such a result falls back to the legacy statistical
+        # continuation instead of crashing (documented behavior).
+        res2 = resume(_model, res, num_samples=10)
+        assert res2.samples["x"].shape == (2, 10, 2)
+
+    def test_missing_callable_kwarg_rejected(self):
+        # A run whose kernel_kwargs carried a callable (e.g. a fused
+        # value_and_grad_fn) cannot resume bit-exactly without it being
+        # re-passed; resume must refuse rather than silently rebuild the
+        # program with autodiff (different accumulation order).
+        import jax
+
+        def my_vag(z):
+            lp = jnp.sum(-0.5 * (z - 2.0) ** 2)
+            return lp, -(z - 2.0)
+
+        half = sample(
+            _model, {"x": jnp.zeros(2)}, num_samples=10, num_chains=2,
+            kernel="hmc", seed=0, num_warmup=20, value_and_grad_fn=my_vag,
+        )
+        with pytest.raises(ValueError, match="value_and_grad_fn"):
+            resume(_model, half, num_samples=10)
+        # re-passing the callable works
+        res = resume(_model, half, num_samples=10, value_and_grad_fn=my_vag)
+        assert res.samples["x"].shape == (2, 10, 2)
+
+    def test_repeated_resume_hits_runner_cache(self):
+        from mlx_mcmc_tpu.inference.api import _RUNNER_CACHE
+
+        half = sample(
+            _model, {"x": jnp.zeros(2)}, num_samples=10, num_chains=2,
+            kernel="hmc", seed=6, num_warmup=20,
+        )
+        a = resume(_model, half, num_samples=10)
+        n = len(_RUNNER_CACHE)
+        b = resume(_model, a, num_samples=10)
+        assert len(_RUNNER_CACHE) == n  # second resume reused the runner
+        assert b.samples["x"].shape == (2, 10, 2)
 
     def test_orbax_exact_roundtrip(self, tmp_path):
         pytest.importorskip("orbax.checkpoint")
