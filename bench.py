@@ -66,7 +66,10 @@ CONFIGS = {
     # 0 divergences, accept 0.793 throughout; 300 keeps a 50% margin over
     # the shortest validated schedule. ess/s: 1.74M @500, 2.07M @300,
     # 2.39M @200. Seed-robust: 5 seeds at warmup=300 give min-ESS spread
-    # 1.02% and 0 total divergences.
+    # 1.02% and 0 total divergences. Re-validated at the r4 2000-draw
+    # shape: 5 seeds each at warmup 300/200 give min-ESS 14.12M/14.08M
+    # (spread 0.27%/0.72%), 0 divergences everywhere — 200 would buy ~3%
+    # ess/s; 300 is kept for adaptation margin.
     # num_samples=2000 + bf16 draw store (r4): min-ESS/s amortizes the fixed
     # warmup cost over the draw phase, and ESS grows linearly with draws
     # (ESS/draw is constant), so longer runs report the sampler's
