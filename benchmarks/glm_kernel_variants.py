@@ -7,8 +7,8 @@ matmul-only speed of light, i.e. the elementwise epilogue (VPU+EUP) costs
 epilogue changes can be evaluated in seconds instead of full NUTS runs.
 
 Variants:
-    current   shared-exp epilogue shipped in ops/pallas/glm.py
-              (exp, reciprocal, log1p + ~12 ALU passes per element)
+    current   the production kernel in ops/pallas/glm.py (tanh epilogue,
+              y kept in-kernel — identical body to tanh_y)
     floor     matmuls only (no transcendentals) — the MXU-bound floor
     tanh_y    sigmoid = 0.5+0.5*tanh(s/2), softplus = max(s,0)-log(0.5+0.5*|h|)
               with r = y - sig kept in-kernel (2 EUP + ~9 ALU passes)
