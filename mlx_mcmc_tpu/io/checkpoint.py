@@ -342,6 +342,17 @@ def resume(
     if isinstance(checkpoint, str):
         checkpoint = load_checkpoint(checkpoint)
     if checkpoint.get("phase") == "sampling":
+        if seed is not None:
+            import warnings
+
+            warnings.warn(
+                "resume: `seed` is ignored for a bit-exact sampling "
+                "checkpoint — the continuation always uses the "
+                f"checkpointed run's RNG stream (seed={checkpoint['seed']}). "
+                "For an independent continuation, use a legacy "
+                "position-only checkpoint (save a PRNG-key-seeded result).",
+                stacklevel=2,
+            )
         return _resume_exact(
             log_prob_fn,
             checkpoint,

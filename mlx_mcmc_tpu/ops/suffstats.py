@@ -128,11 +128,49 @@ def make_hier_normal_vag(
 
     @vag.def_vmap
     def _vag_vmap(axis_size, in_batched, Z, data):
-        del axis_size, in_batched
+        del axis_size
+        # The rule assumes the engine's batching pattern: chains batch the
+        # position, data is replicated. Anything else (batched data, an
+        # unbatched z next to another batched arg) would silently compute
+        # wrong values if we just assumed — fail loudly instead.
+        z_batched, data_batched = in_batched
+        if not z_batched or any(jax.tree_util.tree_leaves(data_batched)):
+            raise NotImplementedError(
+                "make_hier_normal_vag's custom_vmap rule supports only "
+                "vmap-over-z with replicated data (the engine's chain "
+                f"batching); got in_batched={in_batched!r}"
+            )
         ll, g = _batched(Z, data)
         return (ll, g), (True, True)
 
     return vag
+
+
+def make_hier_normal_model(
+    prior_mu_scale: float = 5.0,
+    prior_log_tau_scale: float = 1.0,
+):
+    """One factory for BOTH halves of the sufficient-statistic model:
+    ``(log_prob, value_and_grad_fn)`` bound to the *same* prior scales.
+
+    :func:`hier_suffstat_log_prob` and :func:`make_hier_normal_vag` take
+    independent scale kwargs that must agree — a mismatch makes density-only
+    paths (metropolis, MAP/ADVI init) evaluate a different posterior than the
+    gradient path with no error. Constructing both through this factory makes
+    that divergence impossible.
+    """
+    import functools
+
+    log_prob = functools.partial(
+        hier_suffstat_log_prob,
+        prior_mu_scale=prior_mu_scale,
+        prior_log_tau_scale=prior_log_tau_scale,
+    )
+    vag = make_hier_normal_vag(
+        prior_mu_scale=prior_mu_scale,
+        prior_log_tau_scale=prior_log_tau_scale,
+    )
+    return log_prob, vag
 
 
 def hier_suffstat_log_prob(

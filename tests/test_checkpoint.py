@@ -151,6 +151,18 @@ class TestExactSamplingResume:
         with pytest.raises(ValueError, match="max_tree_depth"):
             resume(_model, half, num_samples=10, max_tree_depth=7)
 
+    def test_explicit_seed_on_exact_checkpoint_warns(self):
+        # ADVICE r4: resume() silently ignored a user-supplied seed for
+        # bit-exact checkpoints; the caller must be told the checkpoint's
+        # stream wins.
+        half = sample(
+            _model, {"x": jnp.zeros(2)}, num_samples=10, num_chains=2,
+            kernel="hmc", seed=0, num_warmup=20,
+        )
+        with pytest.warns(UserWarning, match="`seed` is ignored"):
+            res = resume(_model, half, num_samples=10, seed=99)
+        assert res.samples["x"].shape == (2, 10, 2)
+
     def test_warmup_checkpoint_routed_to_resume_warmup(self):
         from mlx_mcmc_tpu.io import run_warmup
 

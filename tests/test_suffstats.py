@@ -12,6 +12,7 @@ from mlx_mcmc_tpu.models import make_hierarchical_normal
 from mlx_mcmc_tpu.ops.ravel import make_flat_logprob
 from mlx_mcmc_tpu.ops.suffstats import (
     hier_suffstat_log_prob,
+    make_hier_normal_model,
     make_hier_normal_vag,
     prepare_hier_normal_data,
 )
@@ -71,6 +72,34 @@ class TestSuffstatVag:
         np.testing.assert_allclose(
             np.asarray(g1), np.asarray(g2[0]), rtol=1e-6
         )
+
+    def test_vmap_rule_rejects_batched_data(self, spec):
+        # The custom_vmap rule only supports the engine's pattern (batched z,
+        # replicated data); batched data must fail loudly, not silently
+        # compute shard-0 values (ADVICE r4).
+        data = prepare_hier_normal_data(spec.y)
+        vag = make_hier_normal_vag()
+        rng = np.random.default_rng(2)
+        Z = jnp.asarray(rng.normal(size=(4, 14)).astype(np.float32))
+        batched_data = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (4,) + jnp.shape(x)), data
+        )
+        with pytest.raises(NotImplementedError, match="replicated data"):
+            jax.vmap(vag)(Z, batched_data)
+
+    def test_model_factory_halves_agree(self, spec):
+        # make_hier_normal_model binds log_prob and vag to the same scales;
+        # with non-default scales the two halves must still agree.
+        data = prepare_hier_normal_data(spec.y)
+        log_prob, vag = make_hier_normal_model(
+            prior_mu_scale=2.0, prior_log_tau_scale=0.5
+        )
+        flat_lp, z0, _ = make_flat_logprob(
+            log_prob, spec.initial_params, data_aware=True
+        )
+        z = z0 + 0.25
+        ll, _ = vag(z, data)
+        np.testing.assert_allclose(float(ll), float(flat_lp(z, data)), rtol=1e-5)
 
     def test_sampling_through_suffstats_matches_full_data(self, spec):
         from mlx_mcmc_tpu import sample
