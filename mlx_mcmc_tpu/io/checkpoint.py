@@ -154,6 +154,12 @@ def _sampling_payload(payload: Dict[str, Any]):
         ),
         "has_transforms": payload["has_transforms"],
         "data_fingerprint": payload["data_fingerprint"],
+        # Sharded-run extras (sample_sharded payloads): the mesh layout the
+        # tiled adaptation pytrees were produced under, and which
+        # non-serializable arguments must be re-passed on resume.
+        "mesh_axes": payload.get("mesh_axes"),
+        "has_log_prior": bool(payload.get("has_log_prior", False)),
+        "has_data_specs": bool(payload.get("has_data_specs", False)),
         "param_names": list(positions.keys()),
     }
     adapt_leaves = jax.tree_util.tree_leaves(payload["adapt"])
@@ -309,6 +315,11 @@ def resume(
     seed: Optional[int] = None,
     data=None,
     transforms=None,
+    mesh=None,
+    axis: str = "chains",
+    data_axis=None,
+    data_specs=None,
+    log_prior_fn=None,
     **kwargs,
 ):
     """Continue sampling from a checkpoint (dict, path, or an
@@ -320,6 +331,15 @@ def resume(
     bit for bit — draws ``[offset, offset + num_samples)`` of one
     uninterrupted longer run. ``seed`` is ignored for these (the stream is
     the checkpoint's); ``data``/``transforms`` must match the original call.
+
+    A checkpoint saved from a :func:`~mlx_mcmc_tpu.parallel.sample_sharded`
+    result resumes with ``mesh=`` (plus ``axis``/``data_axis``/``data_specs``
+    /``log_prior_fn`` matching the original call): the continuation runs
+    under ``shard_map`` on a mesh of the SAME layout — cross-shard adaptation
+    statistics round differently per layout, so a different one is refused —
+    and its draws are bit-identical to the corresponding slice of one longer
+    uninterrupted ``sample_sharded`` run. A vmap checkpoint cannot resume
+    sharded, nor vice versa.
 
     Legacy position-only checkpoints resume with the checkpointed tunables
     but a fresh RNG stream (statistically equivalent continuation); extra
@@ -352,6 +372,20 @@ def resume(
                 "For an independent continuation, use a legacy "
                 "position-only checkpoint (save a PRNG-key-seeded result).",
                 stacklevel=2,
+            )
+        if checkpoint.get("mesh_axes") is not None or mesh is not None:
+            return _resume_exact_sharded(
+                log_prob_fn,
+                checkpoint,
+                num_samples=num_samples,
+                data=data,
+                transforms=transforms,
+                mesh=mesh,
+                axis=axis,
+                data_axis=data_axis,
+                data_specs=data_specs,
+                log_prior_fn=log_prior_fn,
+                **kwargs,
             )
         return _resume_exact(
             log_prob_fn,
@@ -391,24 +425,12 @@ def resume(
     )
 
 
-def _resume_exact(
-    log_prob_fn,
-    ckpt: Dict[str, Any],
-    *,
-    num_samples: int,
-    data,
-    transforms,
-    **kwargs,
-):
-    """Bit-exact sampling continuation: rebuild the engine with a zero-length
-    warmup segment and scan draws ``[offset, offset + num_samples)`` of the
-    original global step stream (engine ``sample_start``)."""
-    import jax
-
-    from mlx_mcmc_tpu.inference.api import MCMCResult, _as_key
-    from mlx_mcmc_tpu.inference.engine import build_sampler, make_chain_keys
-    from mlx_mcmc_tpu.ops.ravel import make_flat_logprob, ravel_params
-
+def _validate_exact_resume(ckpt, kwargs, transforms, data):
+    """Shared guards for bit-exact sampling continuations (vmap AND
+    sharded): transforms presence, stored-kwarg contradictions, thin,
+    missing callable kwargs, and the data fingerprint. Mutates ``kwargs``
+    in place (re-applies the stored sampler kwargs) and returns
+    ``(thin, fp)``."""
     if bool(ckpt.get("has_transforms")) != (transforms is not None):
         raise ValueError(
             "resume: the checkpointed run "
@@ -454,6 +476,28 @@ def _resume_exact(
             "checkpointed run's data (structure/shape/dtype fingerprint "
             f"differs):\n  checkpoint: {norm_stored}\n  provided:   {fp}"
         )
+    return thin, fp
+
+
+def _resume_exact(
+    log_prob_fn,
+    ckpt: Dict[str, Any],
+    *,
+    num_samples: int,
+    data,
+    transforms,
+    **kwargs,
+):
+    """Bit-exact sampling continuation: rebuild the engine with a zero-length
+    warmup segment and scan draws ``[offset, offset + num_samples)`` of the
+    original global step stream (engine ``sample_start``)."""
+    import jax
+
+    from mlx_mcmc_tpu.inference.api import MCMCResult, _as_key
+    from mlx_mcmc_tpu.inference.engine import build_sampler, make_chain_keys
+    from mlx_mcmc_tpu.ops.ravel import make_flat_logprob, ravel_params
+
+    thin, fp = _validate_exact_resume(ckpt, kwargs, transforms, data)
 
     if transforms:
         from mlx_mcmc_tpu.distributions.transforms import (
@@ -571,6 +615,131 @@ def _resume_exact(
         samples=samples,
         info=result.info,
         tunables=result.final_tunables,
+        num_chains=int(ckpt["num_chains"]),
+        num_samples=num_samples,
+        kernel=kernel,
+        resume_payload=new_payload,
+    )
+
+
+def _resume_exact_sharded(
+    log_prob_fn,
+    ckpt: Dict[str, Any],
+    *,
+    num_samples: int,
+    data,
+    transforms,
+    mesh,
+    axis,
+    data_axis,
+    data_specs,
+    log_prior_fn,
+    **kwargs,
+):
+    """Bit-exact sampling continuation of a ``sample_sharded`` run: drives a
+    zero-length-warmup engine segment under ``shard_map`` over a mesh of the
+    checkpointed layout, restoring the TILED per-shard adaptation pytrees
+    (each shard's Welford moments are its own) and scanning draws
+    ``[offset, offset + num_samples)`` of the original global step stream."""
+    import jax
+
+    from mlx_mcmc_tpu.inference.api import MCMCResult
+    from mlx_mcmc_tpu.ops.ravel import ravel_params
+    from mlx_mcmc_tpu.parallel.sharded import _sharded_engine_run
+
+    if transforms is not None:
+        raise ValueError(
+            "resume: sharded runs do not support transforms; the checkpoint "
+            "cannot have been produced with them"
+        )
+    _check_mesh_axes(ckpt.get("mesh_axes"), mesh, axis, data_axis)
+    if ckpt.get("has_log_prior") and log_prior_fn is None:
+        raise ValueError(
+            "resume: the checkpointed sharded run used log_prior_fn (the "
+            "data-sharded prior split); re-pass the same function to resume "
+            "bit-exactly"
+        )
+    if ckpt.get("has_data_specs") and data_specs is None:
+        raise ValueError(
+            "resume: the checkpointed sharded run passed explicit data_specs;"
+            " re-pass the same PartitionSpecs to resume with the identical "
+            "data layout"
+        )
+    thin, fp = _validate_exact_resume(ckpt, kwargs, transforms, data)
+
+    positions = {k: jnp.asarray(v) for k, v in ckpt["positions"].items()}
+    example = jax.tree_util.tree_map(lambda x: x[0], positions)
+    z0_batch = jax.vmap(lambda tree: ravel_params(tree)[0])(positions)
+    num_warmup = int(ckpt["num_warmup"])
+    kernel = ckpt["kernel"]
+    offset = int(ckpt["next_sample_start"])
+    store_key = ckpt.get("store_dtype")
+    if store_key is not None:
+        kwargs["store_dtype"] = jnp.dtype(store_key)
+    resume_state = _resume_state_from_ckpt(ckpt)
+
+    (res_positions, info, tunables, final_state, adapt, traj, _stats,
+     unravel, dim) = _sharded_engine_run(
+        log_prob_fn,
+        example,
+        num_samples=num_samples,
+        num_warmup=num_warmup,
+        num_chains=int(ckpt["num_chains"]),
+        kernel=kernel,
+        seed=int(ckpt["seed"]),
+        mesh=mesh,
+        axis=axis,
+        step_size=ckpt["step_size"],
+        adapt_step_size=bool(ckpt["adapt_step_size"]),
+        adapt_mass_matrix=bool(ckpt["adapt_mass_matrix"]),
+        target_accept=ckpt["target_accept"],
+        jitter=0.0,
+        device_diagnostics=False,
+        data=data,
+        data_axis=data_axis,
+        data_specs=data_specs,
+        log_prior_fn=log_prior_fn,
+        warmup_start=num_warmup,
+        warmup_stop=num_warmup,
+        resume_state=resume_state,
+        z0_batch_override=z0_batch,
+        sample_start=offset,
+        **kwargs,
+    )
+
+    samples = jax.vmap(jax.vmap(unravel))(res_positions)
+    new_payload = {
+        "phase": "sampling",
+        "flat_position": final_state.position,
+        "adapt": adapt,
+        "traj": traj,
+        "inv_mass_diag": tunables.inv_mass_diag,
+        "unravel": unravel,
+        "num_warmup": num_warmup,
+        "num_chains": int(ckpt["num_chains"]),
+        "next_sample_start": offset + num_samples,
+        "thin": thin,
+        "kernel": kernel,
+        "seed": int(ckpt["seed"]),
+        "dim": dim,
+        "step_size": ckpt["step_size"],
+        "adapt_step_size": bool(ckpt["adapt_step_size"]),
+        "adapt_mass_matrix": bool(ckpt["adapt_mass_matrix"]),
+        "target_accept": ckpt["target_accept"],
+        "store_dtype": store_key,
+        "kernel_kwargs": {
+            k: v for k, v in kwargs.items() if k != "store_dtype"
+        },
+        "has_transforms": False,
+        "data_fingerprint": fp,
+        "mesh_axes": ckpt.get("mesh_axes"),
+        "has_log_prior": bool(ckpt.get("has_log_prior")),
+        "has_data_specs": bool(ckpt.get("has_data_specs")),
+    }
+    return MCMCResult(
+        samples=samples,
+        info=info,
+        tunables=tunables,
         num_chains=int(ckpt["num_chains"]),
         num_samples=num_samples,
         kernel=kernel,

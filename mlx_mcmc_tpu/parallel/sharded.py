@@ -94,6 +94,7 @@ def _sharded_engine_run(
     warmup_stop: Optional[int] = None,
     resume_state=None,
     z0_batch_override=None,
+    sample_start: int = 0,
     **kernel_kwargs,
 ):
     """Shared driver behind :func:`sample_sharded` and the sharded
@@ -211,7 +212,10 @@ def _sharded_engine_run(
 
     positions, info, tiled_tunables, final_state, tiled_adapt, stats = entry[
         "jitted"
-    ](chain_keys, z0_batch, data, resume_state, entry["sched"])
+    ](
+        chain_keys, z0_batch, data, resume_state, entry["sched"],
+        jnp.asarray(sample_start, jnp.int32),
+    )
     tunables = jax.tree_util.tree_map(lambda x: x[0], tiled_tunables)
     # Adaptation pytrees stay TILED with their leading (shards,) axis: the
     # Welford moments are per-shard state (see shard_run), so a mid-warmup
@@ -320,7 +324,10 @@ def _build_sharded_runner(
         **kernel_kwargs,
     )
 
-    def shard_run(chain_keys_shard, z0_shard, data_shard, resume_rep, sched):
+    def shard_run(
+        chain_keys_shard, z0_shard, data_shard, resume_rep, sched,
+        sample_start,
+    ):
         if resume_rep is not None:
             # resume_rep arrives tiled with a leading (shards,) axis and
             # in_spec P(axis): each shard slices out ITS row. The dual-
@@ -330,7 +337,10 @@ def _build_sharded_runner(
             # window ends) — restoring shard 0's moments everywhere would
             # corrupt the next window-end merge.
             resume_rep = jax.tree_util.tree_map(lambda x: x[0], resume_rep)
-        result = run(chain_keys_shard, z0_shard, data_shard, resume_rep, sched)
+        result = run(
+            chain_keys_shard, z0_shard, data_shard, resume_rep, sched,
+            sample_start,
+        )
         # Tunables (and device diagnostics) are identical on every shard
         # after the collectives; emit one leading shard axis so out_specs can
         # declare them sharded, then take shard 0 outside. The adaptation
@@ -400,7 +410,7 @@ def _build_sharded_runner(
     sharded = shard_map(
         shard_run,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), data_in_spec, P(axis), P()),
+        in_specs=(P(axis), P(axis), data_in_spec, P(axis), P(), P()),
         out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
         # Kernel while-loop carries mix shard-invariant literals with
         # shard-varying state; skip the varying-axes check rather than
@@ -439,6 +449,8 @@ def sample_sharded(
     data_axis: Optional[str] = None,
     data_specs=None,
     log_prior_fn: Optional[Callable[[Any], jnp.ndarray]] = None,
+    store_dtype=None,
+    draw_chunk: Optional[int] = None,
     **kernel_kwargs,
 ) -> MCMCResult:
     """Run chains sharded over ``mesh[axis]`` with collective adaptation.
@@ -473,10 +485,28 @@ def sample_sharded(
     draws) so the per-leapfrog psum count is uniform across chain rows —
     pass a modest ``max_tree_depth`` (6-8) to bound the fixed cost.
 
+    ``thin=k`` keeps every k-th draw; ``store_dtype`` (e.g. ``'bfloat16'``)
+    down-casts only the STORED draws while all sampling arithmetic stays f32
+    — at pod scale the bf16 store halves the dominant
+    (chains, draws, D) HBM footprint (same semantics as
+    :func:`mlx_mcmc_tpu.sample`).
+
+    ``draw_chunk=k`` scans the sampling phase in chunks of ``k`` draws,
+    fetching each chunk to host memory (one cross-shard gather per chunk)
+    before the next runs, so the full sharded draw store never has to fit
+    HBM. Draws and diagnostics are bit-identical to the unchunked sharded
+    run (the engine keys every step by its global index);
+    ``MCMCResult.samples`` holds numpy arrays. Incompatible with
+    ``device_diagnostics`` (device R-hat/ESS need all draws resident).
+
     Mid-warmup checkpoint/resume for sharded runs goes through
     ``io.run_warmup(..., mesh=...)`` / ``io.resume_warmup(..., mesh=...)``,
     which drive the same engine segments over the same mesh (bit-identical
-    composition, tests/test_checkpoint.py).
+    composition, tests/test_checkpoint.py). Post-warmup, an int-seeded
+    result carries a ``resume_payload`` exactly like :func:`sample`:
+    ``io.save_checkpoint`` persists it (including the per-shard adaptation
+    tiling and the mesh layout) and ``io.resume(..., mesh=...)`` continues
+    drawing bit-identically on a mesh of the same layout.
 
     Caching: repeated calls with the same static configuration reuse a
     compiled sharded runner, keyed — like ``jax.jit`` — by OBJECT IDENTITY
@@ -487,12 +517,26 @@ def sample_sharded(
     :func:`~mlx_mcmc_tpu.clear_runner_cache` (clears this cache too) /
     :func:`clear_sharded_runner_cache` after mutation.
     """
-    (positions, info, tunables, _final_state, _adapt, _traj, stats,
-     unravel, _dim) = _sharded_engine_run(
-        log_prob_fn,
-        initial_params,
-        num_samples=num_samples,
-        num_warmup=num_warmup,
+    import numpy as np
+
+    if mesh is None:
+        mesh = chain_mesh()
+    store_key = None if store_dtype is None else str(jnp.dtype(store_dtype))
+    if store_key is not None:
+        kernel_kwargs["store_dtype"] = jnp.dtype(store_key)
+    if draw_chunk is not None:
+        if draw_chunk <= 0:
+            raise ValueError(f"draw_chunk must be positive, got {draw_chunk}")
+        if draw_chunk >= num_samples:
+            draw_chunk = None  # one chunk == the unchunked program
+    if draw_chunk is not None and device_diagnostics:
+        raise ValueError(
+            "draw_chunk is incompatible with device_diagnostics: on-device "
+            "R-hat/ESS need the full draw store resident; compute host "
+            "diagnostics on the chunked result instead (result.diagnostics())"
+        )
+
+    common = dict(
         num_chains=num_chains,
         kernel=kernel,
         seed=seed,
@@ -502,16 +546,114 @@ def sample_sharded(
         adapt_step_size=adapt_step_size,
         adapt_mass_matrix=adapt_mass_matrix,
         target_accept=target_accept,
-        jitter=jitter,
-        device_diagnostics=device_diagnostics,
         data=data,
         data_axis=data_axis,
         data_specs=data_specs,
         log_prior_fn=log_prior_fn,
+    )
+
+    first_draws = draw_chunk if draw_chunk is not None else num_samples
+    (positions, info, tunables, final_state, adapt, traj, stats,
+     unravel, dim) = _sharded_engine_run(
+        log_prob_fn,
+        initial_params,
+        num_samples=first_draws,
+        num_warmup=num_warmup,
+        jitter=jitter,
+        device_diagnostics=device_diagnostics,
+        **common,
         **kernel_kwargs,
     )
 
-    samples = jax.vmap(jax.vmap(unravel))(positions)
+    if draw_chunk is None:
+        samples = jax.vmap(jax.vmap(unravel))(positions)
+    else:
+        # Chunked draw storage (sharded twin of sample(draw_chunk=...)):
+        # each segment's draws are gathered to host numpy, freeing their
+        # device buffers before the next continuation segment runs from the
+        # final kernel positions + tiled per-shard adaptation pytrees.
+        def fetch(pos, inf):
+            s = jax.tree_util.tree_map(
+                np.asarray, jax.vmap(jax.vmap(unravel))(pos)
+            )
+            return s, jax.tree_util.tree_map(np.asarray, inf)
+
+        sample_chunks, info_chunks = [], []
+        s0, i0 = fetch(positions, info)
+        sample_chunks.append(s0)
+        info_chunks.append(i0)
+        offset = first_draws
+        while offset < num_samples:
+            size = min(draw_chunk, num_samples - offset)
+            (positions, info, tunables, final_state, adapt, traj, _st,
+             unravel, dim) = _sharded_engine_run(
+                log_prob_fn,
+                initial_params,
+                num_samples=size,
+                num_warmup=num_warmup,
+                warmup_start=num_warmup,
+                warmup_stop=num_warmup,
+                jitter=0.0,
+                device_diagnostics=False,
+                resume_state=(adapt, traj),
+                z0_batch_override=final_state.position,
+                sample_start=offset,
+                **common,
+                **kernel_kwargs,
+            )
+            s, i = fetch(positions, info)
+            sample_chunks.append(s)
+            info_chunks.append(i)
+            offset += size
+        samples = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs, axis=1), *sample_chunks
+        )
+        info = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs, axis=1), *info_chunks
+        )
+
+    resume_payload = None
+    if isinstance(seed, (int, np.integer)):
+        from mlx_mcmc_tpu.io.checkpoint import (
+            _data_fingerprint,
+            _mesh_axes_meta,
+        )
+
+        payload_kwargs = {
+            k: v for k, v in kernel_kwargs.items() if k != "store_dtype"
+        }
+        resume_payload = {
+            "phase": "sampling",
+            "flat_position": final_state.position,
+            # TILED per-shard adaptation pytrees — the Welford moments are
+            # genuinely shard-local (see shard_run); a continuation must
+            # restore each shard's own rows.
+            "adapt": adapt,
+            "traj": traj,
+            "inv_mass_diag": tunables.inv_mass_diag,
+            "unravel": unravel,
+            "num_warmup": int(num_warmup),
+            "num_chains": int(num_chains),
+            "next_sample_start": int(num_samples),
+            "thin": int(kernel_kwargs.get("thin", 1)),
+            "kernel": kernel,
+            "seed": int(seed),
+            "dim": int(dim),
+            "step_size": resolve_step_size(step_size, kernel, adapt_step_size),
+            "adapt_step_size": bool(adapt_step_size),
+            "adapt_mass_matrix": bool(adapt_mass_matrix),
+            "target_accept": target_accept,
+            "store_dtype": store_key,
+            "kernel_kwargs": payload_kwargs,
+            "has_transforms": False,
+            "data_fingerprint": _data_fingerprint(data),
+            # Mesh layout: cross-shard adaptation statistics round
+            # differently per layout, so resume refuses a different one.
+            "mesh_axes": _mesh_axes_meta(mesh, axis, data_axis),
+            "has_log_prior": log_prior_fn is not None,
+            "has_data_specs": data_specs is not None,
+        }
+
     result = MCMCResult(
         samples=samples,
         info=info,
@@ -519,6 +661,7 @@ def sample_sharded(
         num_chains=num_chains,
         num_samples=num_samples,
         kernel=kernel,
+        resume_payload=resume_payload,
     )
     if device_diagnostics:
         result.device_stats = stats
