@@ -147,9 +147,122 @@ def measure(total_chains: int = 32, steps=(120, 420), seed: int = 0) -> dict:
     }
 
 
+def measure_repeated(
+    n_reps: int = 24, total_chains: int = 32, steps=(120, 420), seed: int = 0
+) -> dict:
+    """VERDICT r4 #5: the 4-layout grid's single-shot subtraction bounced
+    −0.09…+0.41 ms with no trend — below its own noise floor. This design
+    repeats the subtraction N>=20 times on the ONLY layout pair that does
+    not oversubscribe the 2-core host (vmap vs 2 shards on 2 devices) and
+    reports median ± IQR, which resolves whether the cross-shard pmean+psum
+    cost is a real positive number or statistically zero at this shape.
+
+    Compilation happens once (runner cache); each rep then times the four
+    cells (vmap/shard2 x adapt-on/off) at two warmup lengths and computes
+    one subtraction estimate, so slow host-wide noise (cron, thermal)
+    decorrelates across reps instead of biasing a single estimate.
+    """
+    import jax  # noqa: F401
+    import numpy as np
+
+    from mlx_mcmc_tpu import sample
+    from mlx_mcmc_tpu.models import make_hierarchical_normal
+    from mlx_mcmc_tpu.parallel import chain_mesh, sample_sharded
+
+    spec = make_hierarchical_normal(num_groups=100, obs_per_group=10, seed=0)
+    short, long_ = steps
+
+    def run(n_shards, adapt, num_warmup):
+        kw = dict(
+            num_samples=1,
+            num_warmup=num_warmup,
+            num_chains=total_chains,
+            kernel="hmc",
+            num_leapfrog_steps=16,
+            seed=seed,
+            adapt_step_size=adapt,
+            adapt_mass_matrix=adapt,
+            step_size=0.05 if not adapt else "auto",
+        )
+        if n_shards == 0:
+            return sample(spec.log_prob, spec.initial_params, **kw)
+        return sample_sharded(
+            spec.log_prob, spec.initial_params,
+            mesh=chain_mesh(num_devices=n_shards), **kw,
+        )
+
+    cells = [(n, a, w) for n in (0, 2) for a in (True, False)
+             for w in (short, long_)]
+    for n, a, w in cells:  # compile + warm every cell once
+        run(n, a, w)
+
+    def timed(n_shards, adapt, w):
+        t0 = time.time()
+        r = run(n_shards, adapt, w)
+        np.asarray(next(iter(r.samples.values())))  # fetch = sync
+        return time.time() - t0
+
+    estimates = []
+    for rep in range(n_reps):
+        per_step = {}
+        for n, a in ((0, True), (0, False), (2, True), (2, False)):
+            per_step[(n, a)] = (
+                1e3 * (timed(n, a, long_) - timed(n, a, short))
+                / (long_ - short)
+            )
+        est = (per_step[(2, True)] - per_step[(2, False)]) - (
+            per_step[(0, True)] - per_step[(0, False)]
+        )
+        estimates.append(est)
+        print(f"rep {rep:2d}: collective_ms_per_step = {est:+.4f}", flush=True)
+
+    arr = np.asarray(estimates)
+    q25, q50, q75 = np.percentile(arr, [25, 50, 75])
+    # Sign test: under H0 (true cost == 0, symmetric noise) the number of
+    # positive estimates is Binomial(n, 0.5).
+    n_pos = int(np.sum(arr > 0))
+    from math import comb
+
+    p_sign = sum(comb(len(arr), k) for k in range(n_pos, len(arr) + 1)) / (
+        2 ** len(arr)
+    )
+    return {
+        "design": (
+            "Repeated subtraction, vmap vs 2 shards only (2 devices on the "
+            "2-core host: no oversubscription). Each of the "
+            f"{n_reps} reps times all four (layout x adapt) cells at two "
+            "warmup lengths and forms one collective_ms_per_step estimate; "
+            "compile amortized across reps via the runner cache."
+        ),
+        "n_reps": n_reps,
+        "estimates_ms": [round(float(x), 4) for x in arr],
+        "median_ms": round(float(q50), 4),
+        "iqr_ms": [round(float(q25), 4), round(float(q75), 4)],
+        "n_positive": n_pos,
+        "sign_test_p_one_sided": round(float(p_sign), 4),
+        "collectives_per_warmup_step": (
+            "1 scalar pmean (pooled accept) every step; 3 psums of (D,) "
+            "Welford moments per step inside slow windows; 2 (D,) pmeans "
+            "at window ends"
+        ),
+        "prediction": (
+            "On real v5e ICI the same collectives are 1 scalar + a few "
+            "(1000,)-element reductions per warmup step — single-digit "
+            "microseconds at ICI latency/bandwidth, i.e. <1% of a "
+            "multi-ms leapfrog step at production shapes. The measured "
+            "virtual-mesh number is an XLA-CPU emulation cost bounding the "
+            "HARNESS overhead, not ICI."
+        ),
+    }
+
+
 def main():
     _force_cpu()
-    out = measure()
+    if "--repeat" in sys.argv:
+        sys.argv.remove("--repeat")
+        out = measure_repeated()
+    else:
+        out = measure()
     path = sys.argv[1] if len(sys.argv) > 1 else None
     blob = json.dumps(out, indent=1)
     if path:

@@ -1,0 +1,176 @@
+"""Roofline for the non-collapsible "Large model" row: hierarchical Poisson
+REGRESSION (models/poisson.py, covariate_dim=K>0) at 1000 groups x 100 obs.
+
+VERDICT r4 #3: the pure event-rate model collapses exactly to sufficient
+statistics (ops/suffstats.py make_poisson_rates_model — the same O(N)->O(G)
+answer as the Gaussian hier1000 row), so the honest full-data row is the
+covariate variant, where exp(theta_g + x_{g,i}.beta) destroys the collapse
+and every gradient evaluation must touch all N = G*n observations.
+
+This harness measures the plain-XLA vmapped value_and_grad at sampler shapes
+and places it on the roofline:
+
+  per evaluation at C chains:
+    FLOPs   ~ 4*N*K*C   (fwd X@beta + bwd X^T r, the only matmuls)
+    EUP     ~ N*C       (one exp per observation per chain)
+    HBM     >= X (N*K*4B) + saved (C,N) residual traffic for the backward
+              pass unless the whole evaluation is fused into one pass
+
+  i.e. the op is NOT MXU-bound (K=4 makes the matmuls ~0.4 GFLOP at C=512 —
+  microseconds); it is bound by whichever of (a) the (C,N) intermediate HBM
+  traffic XLA fails to fuse away, or (b) the N*C exp stream on the VPU/EUP,
+  is larger. The harness reports both bounds next to the measurement so the
+  verdict (bandwidth-bound -> build the fused segment-reduce kernel /
+  compute-bound -> certify) is mechanical.
+
+Run on the real chip:
+    timeout 3600 python benchmarks/poisson_roofline.py
+Writes benchmarks/results/poisson_roofline.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+G, N_PER, K = 1000, 100, 4
+HBM_GBS = 819.0  # v5e HBM bandwidth
+EUP_OPS = 4.0e11  # conservative transcendental throughput estimate (order)
+
+
+def build(seed=0):
+    from mlx_mcmc_tpu.models import make_poisson_event_rates
+
+    spec = make_poisson_event_rates(
+        num_groups=G, obs_per_group=N_PER, covariate_dim=K, seed=seed
+    )
+    data = {
+        "X": spec.X.astype(jnp.float32),
+        "y": spec.y,
+        "c0": -jnp.sum(jax.scipy.special.gammaln(spec.y + 1.0)),
+    }
+
+    def lp(params, data):
+        mu, log_tau = params["mu"], params["log_tau"]
+        theta_raw, beta = params["theta_raw"], params["beta"]
+        tau = jnp.exp(log_tau)
+        theta = mu + tau * theta_raw
+        s = theta[:, None] + data["X"] @ beta
+        ll = jnp.sum(data["y"] * s - jnp.exp(s)) + data["c0"]
+        lp_ = (
+            -0.5 * (mu / 5.0) ** 2
+            - np.float32(np.log(5.0))
+            - 0.5 * log_tau**2
+            - 0.5 * jnp.sum(theta_raw**2)
+            - 0.5 * jnp.sum(beta**2)
+            - 0.5 * (3 + G + K) * np.float32(np.log(2 * np.pi))
+        )
+        return ll + lp_
+
+    return spec, lp, data
+
+
+def time_vag(lp, init, data, C, iters=50):
+    from mlx_mcmc_tpu.ops.ravel import make_flat_logprob
+
+    flat_lp, z0, _ = make_flat_logprob(lp, init, data_aware=True)
+    vag = jax.value_and_grad(flat_lp)
+
+    @jax.jit
+    def run(Z, data):
+        def body(_, carry):
+            Z, acc = carry
+            ll, g = jax.vmap(lambda z: vag(z, data))(Z)
+            Z = Z + 1e-30 * g
+            return Z, acc + jnp.sum(ll)
+
+        Z, acc = jax.lax.fori_loop(0, iters, body, (Z, jnp.float32(0.0)))
+        return acc + jnp.sum(Z)
+
+    key = jax.random.PRNGKey(0)
+    Z = z0[None, :] + 0.02 * jax.random.normal(key, (C, z0.shape[0]))
+    float(run(Z, data))  # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        float(run(Z, data))
+        times.append(time.time() - t0)
+    return min(times) / iters * 1e3  # ms per vag evaluation (all chains)
+
+
+def main():
+    print(f"device={jax.devices()[0]}")
+    spec, lp, data = build()
+    N = G * N_PER
+    rows = []
+    for C in (128, 256, 512):
+        ms = time_vag(lp, spec.initial_params, data, C)
+        flops = 4 * N * K * C
+        eup = N * C
+        # one fused fwd+bwd pass would read X once and write grads; XLA's
+        # autodiff saves a (C, N) residual for the backward pass
+        bytes_fused = N * K * 4 + 2 * C * (G + K + 2) * 4
+        bytes_saved_resid = 2 * C * N * 4  # write + read of the (C,N) saved s
+        bound_bw_ms = 1e3 * (bytes_fused + bytes_saved_resid) / (HBM_GBS * 1e9)
+        bound_bw_fused_ms = 1e3 * bytes_fused / (HBM_GBS * 1e9)
+        bound_eup_ms = 1e3 * (2 * eup) / EUP_OPS  # fwd exp + bwd exp reuse
+        row = {
+            "chains": C,
+            "ms_per_vag": round(ms, 4),
+            "us_per_chain": round(1e3 * ms / C, 3),
+            "bound_hbm_with_saved_residual_ms": round(bound_bw_ms, 4),
+            "bound_hbm_fully_fused_ms": round(bound_bw_fused_ms, 4),
+            "bound_eup_exp_ms_at_4e11": round(bound_eup_ms, 4),
+            "mxu_flops": flops,
+        }
+        rows.append(row)
+        print(f"C={C:4d}: {ms:8.3f} ms/vag  "
+              f"(hbm+resid bound {bound_bw_ms:.3f} ms, "
+              f"fused bound {bound_bw_fused_ms:.4f} ms, "
+              f"exp bound ~{bound_eup_ms:.3f} ms)", flush=True)
+
+    out = {
+        "model": f"poisson regression, G={G}, n={N_PER}, K={K}, N={N}",
+        "design": (
+            "plain-XLA vmapped value_and_grad through the full-data model, "
+            "data as a runtime argument; ms from a 50-iteration fori_loop "
+            "slope with outputs fed back (nothing folds away)"
+        ),
+        "hbm_gbs": HBM_GBS,
+        "rows": rows,
+        "verdict": None,  # filled by the committed interpretation below
+    }
+    fastest = rows[-1]
+    ratio = fastest["ms_per_vag"] / fastest["bound_hbm_with_saved_residual_ms"]
+    if ratio < 2.0:
+        out["verdict"] = (
+            f"XLA runs within {ratio:.1f}x of the saved-residual HBM bound: "
+            "the op is bandwidth-bound on the (C,N) residual the backward "
+            "pass saves. A single-pass fused kernel (recompute exp(s) in the "
+            "backward direction while X is VMEM-resident, segment-reduce "
+            "grads per group) removes that stream -> worth building if "
+            ">=2x is required."
+        )
+    else:
+        out["verdict"] = (
+            f"XLA is {ratio:.1f}x above even the saved-residual HBM bound — "
+            "the loss is fusion/launch structure, not fundamental bandwidth; "
+            "profile before writing a kernel."
+        )
+    os.makedirs(os.path.join(os.path.dirname(__file__), "results"),
+                exist_ok=True)
+    path = os.path.join(os.path.dirname(__file__), "results",
+                        "poisson_roofline.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", path)
+    print(out["verdict"])
+
+
+if __name__ == "__main__":
+    main()

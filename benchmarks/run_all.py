@@ -182,6 +182,29 @@ def main():
                              num_chains=256, jitter=3.0,
                              max_tree_depth=8))
 
+    # -- second lockstep-hostile target: heterogeneous Rosenbrock bank ----
+    # (VERDICT r4 #6) 25 independent 2-D Rosenbrock "banana" pairs with
+    # per-pair curvature scales geomspaced 0.5..8: curvature varies along
+    # each curved valley AND across pairs, so per-chain optimal tree depths
+    # diverge across the vmapped batch — NUTS pays max-over-chains
+    # leapfrogs per draw, ChEES one jittered uniform-cost trajectory.
+    B_PAIRS = 25
+    b_scales = jnp.asarray(
+        np.geomspace(0.5, 8.0, B_PAIRS).astype(np.float32))
+
+    def banana_bank(p):
+        x = p["x"].reshape(B_PAIRS, 2)
+        x1, x2 = x[:, 0], x[:, 1]
+        return -jnp.sum(
+            (x1 - 1.0) ** 2 / 20.0 + b_scales * (x2 - x1 * x1) ** 2
+        )
+
+    for kernel in ("nuts", "chees"):
+        rows.append(run_case("banana-bank(50p)", banana_bank,
+                             {"x": jnp.zeros(2 * B_PAIRS)}, kernel,
+                             num_chains=256, jitter=1.0,
+                             max_tree_depth=8))
+
     # -- hierarchical + GLM scales ----------------------------------------
     spec8 = eight_schools()
     for kernel in ("nuts", "chees"):

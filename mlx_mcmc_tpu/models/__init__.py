@@ -10,10 +10,12 @@ from mlx_mcmc_tpu.models.hierarchical import (
     eight_schools,
     make_hierarchical_normal,
 )
+from mlx_mcmc_tpu.models.poisson import make_poisson_event_rates
 
 __all__ = [
     "make_logistic_regression",
     "make_linear_regression",
     "make_hierarchical_normal",
+    "make_poisson_event_rates",
     "eight_schools",
 ]

@@ -172,11 +172,13 @@ def _pick_chain_tile(c_pad: int, max_tile: int = 1024) -> int:
 
 
 def _fused_padded_call(
-    Xp, yp, Bt, tile_n: int, interpret: bool, kernel_fn=None
+    Xp, yp, Bt, tile_n: int, interpret: bool, kernel_fn=None, c_tile=None
 ):
     """Pallas call on pre-padded operands: Xp (n_pad, d_pad), yp (n_pad, 1),
     Bt (d_pad, c_pad). Returns (ll_pad (1, c_pad), g_pad (d_pad, c_pad)).
-    ``kernel_fn`` selects the likelihood body (logistic default, linear).
+    ``kernel_fn`` selects the likelihood body (logistic default, linear);
+    ``c_tile`` overrides the chain-tile width (must divide the padded chain
+    count — benchmarks/flagship_decomposition.py sweeps it).
 
     Grid (c_tiles, n_tiles), chain tiles OUTER: the ll/g accumulator blocks
     depend only on the outer index and stay VMEM-resident across the inner
@@ -194,7 +196,12 @@ def _fused_padded_call(
             f"padded rows ({n_pad}) not a multiple of tile_n={tile_n}; "
             "the data was prepared with a different tile size"
         )
-    c_tile = _pick_chain_tile(c_pad)
+    if c_tile is None:
+        c_tile = _pick_chain_tile(c_pad)
+    elif c_pad % c_tile != 0:
+        raise ValueError(
+            f"c_tile={c_tile} does not divide padded chains ({c_pad})"
+        )
     grid = (c_pad // c_tile, n_pad // tile_n)
     # The mosaic default scoped-VMEM budget (16MB) OOMs once the in-kernel
     # (tile_n, c_tile) f32 intermediates cross it. Budget explicitly for the

@@ -173,6 +173,122 @@ def make_hier_normal_model(
     return log_prob, vag
 
 
+def prepare_poisson_rates_data(y: jnp.ndarray) -> dict:
+    """Collapse a (num_groups, obs_per_group) count matrix to the Poisson
+    sufficient statistics for :func:`make_poisson_rates_model`.
+
+    The Poisson with a shared per-group rate is an exponential family: with
+    ``theta_g`` the group log-rate,
+
+        ll(theta) = sum_g [ S_g theta_g - n exp(theta_g) ] - sum log(y!)
+
+    where ``S_g = sum_i y_{g,i}``. The whole O(N) data reduction hoists to
+    data-prep time — O(chains * G) per leapfrog instead of O(chains * N),
+    exactly (same posterior; the reference's event-rate scenario at scale,
+    reference examples/04_event_rates.py:29-35 / README.md:105-113).
+    """
+    y = jnp.asarray(y, jnp.float32)
+    num_groups, obs_per_group = y.shape
+    return {
+        "S": jnp.sum(y, axis=1),  # (G,)
+        "n_per_group": jnp.asarray(float(obs_per_group), jnp.float32),
+        "c0": -jnp.sum(jax.scipy.special.gammaln(y + 1.0)),
+    }
+
+
+def make_poisson_rates_model(
+    prior_mu_scale: float = 5.0,
+    prior_log_tau_scale: float = 1.0,
+):
+    """``(log_prob, value_and_grad_fn)`` of the non-centered hierarchical
+    Poisson event-rate log-posterior (models/poisson.py, covariate_dim=0)
+    over the sufficient statistics from :func:`prepare_poisson_rates_data`,
+    bound to one set of prior scales (the density and gradient halves cannot
+    diverge — same contract as :func:`make_hier_normal_model`).
+
+    Flat layout ``z = [log_tau, mu, theta_raw...]`` (ravel_pytree orders
+    dict keys alphabetically). Closed-form gradient: with ``r_g = S_g -
+    n exp(theta_g)`` (= d ll / d theta_g), the non-centered chain rule gives
+    ``d/dmu = sum r``, ``d/dlog_tau = tau * sum(r * theta_raw)``,
+    ``d/dtheta_raw = tau * r`` — all (chains, G) elementwise + two small
+    reductions, far below MXU/HBM limits, so (as with the Gaussian collapse)
+    no Pallas kernel is warranted.
+    """
+    inv_mu_var = 1.0 / (prior_mu_scale * prior_mu_scale)
+    inv_lt_var = 1.0 / (prior_log_tau_scale * prior_log_tau_scale)
+    log_norm = -math.log(prior_mu_scale) - math.log(prior_log_tau_scale)
+
+    def _batched(Z, data):
+        log_tau = Z[:, 0]
+        mu = Z[:, 1]
+        theta_raw = Z[:, 2:]  # (C, G)
+        g = theta_raw.shape[1]
+        tau = jnp.exp(log_tau)
+        theta = mu[:, None] + tau[:, None] * theta_raw  # (C, G)
+
+        n = data["n_per_group"]
+        lam = jnp.exp(theta)
+        ll = data["c0"] + jnp.sum(
+            data["S"][None, :] * theta - n * lam, axis=-1
+        )
+        r = data["S"][None, :] - n * lam  # d ll / d theta
+
+        half_log2pi = 0.5 * math.log(2.0 * math.pi)
+        lp = (
+            ll
+            + log_norm
+            - (2.0 + g) * half_log2pi
+            - 0.5 * inv_mu_var * mu * mu
+            - 0.5 * inv_lt_var * log_tau * log_tau
+            - 0.5 * jnp.sum(theta_raw * theta_raw, axis=-1)
+        )
+        g_mu = jnp.sum(r, axis=-1) - inv_mu_var * mu
+        g_log_tau = tau * jnp.sum(r * theta_raw, axis=-1) - inv_lt_var * log_tau
+        g_theta_raw = tau[:, None] * r - theta_raw
+        grad = jnp.concatenate(
+            [g_log_tau[:, None], g_mu[:, None], g_theta_raw], axis=1
+        )
+        return lp, grad
+
+    @jax.custom_batching.custom_vmap
+    def vag(z, data):
+        ll, g = _batched(z[None], data)
+        return ll[0], g[0]
+
+    @vag.def_vmap
+    def _vag_vmap(axis_size, in_batched, Z, data):
+        del axis_size
+        z_batched, data_batched = in_batched
+        if not z_batched or any(jax.tree_util.tree_leaves(data_batched)):
+            raise NotImplementedError(
+                "make_poisson_rates_model's custom_vmap rule supports only "
+                "vmap-over-z with replicated data (the engine's chain "
+                f"batching); got in_batched={in_batched!r}"
+            )
+        ll, g = _batched(Z, data)
+        return (ll, g), (True, True)
+
+    def log_prob(params, data):
+        mu, log_tau = params["mu"], params["log_tau"]
+        theta_raw = params["theta_raw"]
+        tau = jnp.exp(log_tau)
+        theta = mu + tau * theta_raw
+        n = data["n_per_group"]
+        ll = data["c0"] + jnp.sum(data["S"] * theta - n * jnp.exp(theta))
+        g = theta_raw.shape[0]
+        half_log2pi = 0.5 * math.log(2.0 * math.pi)
+        return (
+            ll
+            + log_norm
+            - (2.0 + g) * half_log2pi
+            - 0.5 * inv_mu_var * mu * mu
+            - 0.5 * inv_lt_var * log_tau * log_tau
+            - 0.5 * jnp.sum(theta_raw * theta_raw)
+        )
+
+    return log_prob, vag
+
+
 def hier_suffstat_log_prob(
     params: dict,
     data: dict,
