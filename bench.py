@@ -345,6 +345,7 @@ def _bench_config(cfg, target_accept=0.8):
             # chains. ESS is computed on the stored draws.
             thin=cfg.get("thin", 1),
             store_dtype=cfg.get("store_dtype"),
+            draw_chunk=cfg.get("draw_chunk"),
             **extra,
         )
 
@@ -457,6 +458,8 @@ def main() -> None:
         cfg = dict(cfg, max_tree_depth=int(os.environ["BENCH_DEPTH"]))
     if os.environ.get("BENCH_THIN"):  # draw-store thinning (wide-chain runs)
         cfg = dict(cfg, thin=int(os.environ["BENCH_THIN"]))
+    if os.environ.get("BENCH_CHUNK"):  # chunked draw storage (8192-row tests)
+        cfg = dict(cfg, draw_chunk=int(os.environ["BENCH_CHUNK"]))
     cfg = dict(cfg, label=cfg["label"].format(chains=cfg["num_chains"]))
 
     metrics, _ = _bench_config(cfg)

@@ -164,7 +164,18 @@ def _fused_hoisted_kernel(x_ref, y_ref, bt_ref, sp_ref, gs_ref):
 
 
 def _pick_chain_tile(c_pad: int, max_tile: int = 1024) -> int:
-    """Largest lane-multiple tile <= max_tile that divides c_pad."""
+    """Largest lane-multiple tile <= max_tile that divides c_pad.
+
+    max_tile stays 1024 — a documented negative result (r5): the flagship
+    grid sweep (benchmarks/results/flagship_decomposition.json grid_sweep)
+    measured c_tile=4096 ~4% faster per ISOLATED kernel call (0.234 vs
+    0.244 ms — one X stream, 4x fewer grid steps), but promoting it
+    regressed the flagship END-TO-END 3.09M -> 2.72M min-ESS/s (wall 4.56
+    -> 5.2 s): the ~90 MB VMEM budget the 1024x4096 f32 intermediates
+    demand starves the surrounding compiled NUTS loop, which the
+    300-calls-in-a-fori_loop microbenchmark cannot see. Same lesson as the
+    hoisted epilogue (_fused_hoisted_kernel): kernel-in-isolation wins must
+    re-prove themselves inside the full sampler before promotion."""
     t = min(c_pad, max_tile)
     while t > _LANE and c_pad % t != 0:
         t -= _LANE
