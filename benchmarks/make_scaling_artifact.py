@@ -82,11 +82,12 @@ def run_bench_row(chains: int, num_samples: int, thin: int) -> dict:
 
 
 def collective_overhead_cpu() -> dict:
-    """Run the r4 collective-isolation harness (subprocess: platform
-    selection must precede first backend use)."""
+    """Run the repeated-subtraction collective harness (VERDICT r4 #5:
+    N>=20 reps on the only non-oversubscribed layout pair, median +- IQR;
+    subprocess because platform selection must precede first backend use)."""
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "benchmarks",
-                                      "collective_overhead.py")],
+                                      "collective_overhead.py"), "--repeat"],
         cwd=REPO, capture_output=True, text=True, timeout=3600,
     )
     lines = _checked(out, "collective_overhead").splitlines()
@@ -145,6 +146,25 @@ def main() -> None:
             "note": "single real chip; ESS on device; efficiency is "
                     "(essps/essps_1024)/(chains/1024)",
             "rows": chain_rows,
+            "r5_8192_attribution": (
+                "The 8192-row shortfall vs 4096 is MEASURED and attributed "
+                "(VERDICT r4 #4, benchmarks run r5): (a) min-ESS scales a "
+                "perfect 2.007x (7.257M vs 3.606M at 500 draws) — no "
+                "statistical saturation; (b) the fused Pallas vag IMPROVES "
+                "per chain at 8192 (0.465 ms/call = 0.232 ms per 4096 "
+                "chains, vs 0.289 at 4096 — fewer grid fills per chain); "
+                "(c) the on-device ESS is linear (0.18 s -> 0.34 s); "
+                "(d) the remaining loss is the NON-vag tree-loop "
+                "bookkeeping, which scales 2.27x per chain-doubling "
+                "(dummy-vag NUTS loop: 0.109 -> 0.248 ms per lockstep "
+                "leaf) — the vmapped loop state (positions, momenta, "
+                "grads, depth-indexed checkpoints; ~50+ MB of (C,D) f32 at "
+                "8192) exceeds VMEM residency and streams from HBM every "
+                "while-iteration. draw_chunk does NOT help here: chunked "
+                "fetches cross the axon tunnel (measured 83 s wall at "
+                "8192x500) — chunking is for HBM-capacity relief, not "
+                "throughput, in this environment."
+            ),
         },
         "weak_scaling": {
             "config": "hier100 non-centered hierarchical, NUTS, "
