@@ -142,6 +142,41 @@ CONFIGS = {
             "(99.8K obs, {chains} chains, full-data likelihood)"
         ),
     ),
+    # Poisson event rates at the Large-model scale (reference examples/04's
+    # scenario x 20,000: 1000 hierarchical group rates, 100 counts each).
+    # The shared-rate likelihood is exponential-family, so the O(N)=100K
+    # data reduction collapses EXACTLY to per-group sufficient statistics
+    # (ops/suffstats.py make_poisson_rates_model) — the Poisson sibling of
+    # hier1000. target_accept=0.9 keeps the exp-link curvature divergence
+    # rate at zero.
+    "poisson1000": dict(
+        family="poisson", num_groups=1000, obs_per_group=100,
+        num_chains=512, num_warmup=400, num_samples=1000, max_tree_depth=10,
+        baseline_ess_per_sec=0.03, fused=False, store_dtype="bfloat16",
+        target_accept=0.9,
+        label=(
+            "min-ESS/sec/chip, NUTS 1000-group hierarchical Poisson rates "
+            "(100K obs, {chains} chains, sufficient-statistic likelihood)"
+        ),
+    ),
+    # The NON-collapsible Poisson row: per-observation covariates
+    # (exp(theta_g + x.beta)) force full-data evaluations; the fused
+    # single-pass Pallas kernel (ops/pallas/poisson.py) computes value,
+    # per-group gradient and covariate gradient in one X pass.
+    "poisson1000_cov": dict(
+        family="poisson", num_groups=1000, obs_per_group=100,
+        covariate_dim=4, num_chains=512, num_warmup=400, num_samples=400,
+        # healthy trees U-turn at depth 5 once the f32-exact linear
+        # predictor landed (ops/pallas/poisson.py: MXU bf16 operand
+        # rounding was injecting ~7 nats of ll noise, collapsing eps and
+        # slamming every tree into the cap); depth 8 leaves 8x headroom.
+        max_tree_depth=8, baseline_ess_per_sec=0.03, fused=True,
+        store_dtype="bfloat16", target_accept=0.9,
+        label=(
+            "min-ESS/sec/chip, NUTS 1000-group hierarchical Poisson "
+            "regression (100K obs, {chains} chains, fused Pallas)"
+        ),
+    ),
     # Funnel-geometry stress benchmark: centered eight schools. Reported
     # alongside the friendly GLM so the headline is not flattered by
     # well-conditioned geometry alone; divergence counts are the point.
@@ -246,6 +281,36 @@ def build_problem(cfg):
 
         return log_prob, spec.initial_params, data, extra
 
+    if family == "poisson":
+        from mlx_mcmc_tpu.models import make_poisson_event_rates
+
+        spec = make_poisson_event_rates(
+            num_groups=cfg["num_groups"],
+            obs_per_group=cfg["obs_per_group"],
+            covariate_dim=cfg.get("covariate_dim", 0),
+            seed=0,
+        )
+        if cfg.get("covariate_dim", 0) > 0:
+            # non-collapsible: fused single-pass Pallas kernel
+            from mlx_mcmc_tpu.ops.pallas.poisson import (
+                make_fused_poisson_model,
+                prepare_fused_poisson_data,
+            )
+
+            data = prepare_fused_poisson_data(spec.y, spec.X)
+            log_prob, vag = make_fused_poisson_model()
+        else:
+            # exponential family: exact sufficient-statistic collapse
+            from mlx_mcmc_tpu.ops.suffstats import (
+                make_poisson_rates_model,
+                prepare_poisson_rates_data,
+            )
+
+            data = prepare_poisson_rates_data(spec.y)
+            log_prob, vag = make_poisson_rates_model()
+        extra["value_and_grad_fn"] = vag
+        return log_prob, spec.initial_params, data, extra
+
     if family == "funnel":
         from mlx_mcmc_tpu.models import eight_schools
 
@@ -325,6 +390,7 @@ def _bench_config(cfg, target_accept=0.8):
     from mlx_mcmc_tpu import sample
     from mlx_mcmc_tpu.diagnostics import effective_sample_size
 
+    target_accept = cfg.get("target_accept", target_accept)
     log_prob, initial_params, data, extra = build_problem(cfg)
 
     def run(seed):

@@ -93,7 +93,13 @@ def make_poisson_event_rates(
         lp += jnp.sum(Normal(0.0, 1.0).log_prob(theta_raw))
         if covariate_dim > 0:
             beta = params["beta"]
-            s = s + X @ beta  # (G, n)
+            # precision=HIGHEST: the MXU's default bf16 operand rounding
+            # injects O(nats) log-likelihood noise at 100K-obs count scale,
+            # which collapses NUTS adaptation (measured r5; see
+            # ops/pallas/poisson.py). The contraction is tiny (K per obs).
+            s = s + jnp.dot(
+                X, beta, precision=jax.lax.Precision.HIGHEST
+            )  # (G, n)
             lp += jnp.sum(Normal(0.0, 1.0).log_prob(beta))
         lp += jnp.sum(y * s - jnp.exp(s)) - log_y_fact
         return lp
