@@ -8,7 +8,9 @@ Configs (select with BENCH_CONFIG env var or argv[1]):
                        Pallas value+grad — the flagship
     glm100           : same posterior, plain XLA f32 path
     glm1000 / glm1000_fused : 1000 params, 100K obs — BASELINE.md large
-    hier1000         : 1000-param non-centered hierarchical, ~100K obs
+    hier1000 / hier1000_full : 1000-param non-centered hierarchical, ~100K obs
+    poisson1000      : 1000-group Poisson rates, suffstat collapse
+    poisson1000_cov  : + covariates (non-collapsible), fused Pallas kernel
     funnel8          : centered eight-schools funnel (divergence stress)
 The default run also measures the funnel stress benchmark and reports it in
 the detail (divergence counts keep the friendly-GLM headline honest).
